@@ -1,0 +1,95 @@
+"""Solver options.
+
+Mirrors the reference's `Options` kwdef struct (reference
+src/solver/options.jl:6-59) as a frozen, hashable dataclass so it can be a
+static argument to `jax.jit`: every field is trace-time constant, so loop
+bounds and tolerances bake into the compiled program.
+"""
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    # norms (p for ||.||_p; 1.0, 2.0 or inf)
+    residual_norm: float = 1.0
+    constraint_norm: float = 1.0
+
+    # iteration caps (reference options.jl:9-10)
+    max_outer_iterations: int = 10
+    max_residual_iterations: int = 100
+
+    # line search (reference options.jl:11-13,:44-49)
+    scaling_line_search: float = 0.5
+    max_residual_line_search: int = 25
+    max_cone_line_search: int = 25
+    violation_tolerance: float = 1.0e-5
+    violation_exponent: float = 1.1
+    merit_tolerance: float = 1.0e-5
+    merit_exponent: float = 2.3
+    armijo_tolerance: float = 1.0e-4
+    machine_tolerance: float = 1.0e-16
+
+    # iterative refinement (reference options.jl:14-17)
+    iterative_refinement: bool = True
+    max_iterative_refinement: int = 10
+    min_iterative_refinement: int = 1
+    iterative_refinement_tolerance: float = 1.0e-10
+
+    # central path / interior point (reference options.jl:18-21,:39)
+    central_path_initial: float = 1.0
+    central_path_update_tolerance: float = 10.0
+    central_path_scaling: float = 0.2
+    central_path_exponent: float = 1.5
+    min_central_path: float = 1.0e-8
+
+    # augmented Lagrangian (reference options.jl:22-24,:40)
+    penalty_initial: float = 1.0
+    penalty_scaling: float = 10.0
+    dual_initial: float = 0.0
+    max_penalty: float = 1.0e8
+
+    # convergence tolerances (reference options.jl:25-29)
+    residual_tolerance: float = 1.0e-4
+    optimality_tolerance: float = 1.0e-4
+    slack_tolerance: float = 1.0e-4
+    equality_tolerance: float = 1.0e-4
+    complementarity_tolerance: float = 1.0e-4
+
+    # regularization / inertia-correction ladder (reference options.jl:30-38)
+    min_regularization: float = 1.0e-20
+    primal_regularization_initial: float = 1.0e-7
+    dual_regularization_initial: float = 1.0e-7
+    max_regularization: float = 1.0e40
+    dual_regularization: float = 1.0e-8
+    dual_regularization_exponent: float = 0.25
+    scaling_regularization_initial: float = 100.0
+    scaling_regularization: float = 8.0
+    scaling_regularization_last: float = 1.0 / 3.0
+
+    # second derivatives of constraints in the Lagrangian Hessian
+    # (reference options.jl:41)
+    constraint_tensor: bool = True
+
+    # linear-solver backend: "ldl" (dense unpivoted LDL^T on the condensed
+    # quasidefinite system, exact inertia from sign(D) -- the reference's
+    # QDLDL analogue) or "schur" (primal Schur-complement Cholesky; inertia
+    # from factorization success -- the MXU-friendly fast path)
+    linear_solver: str = "ldl"
+
+    # differentiation (reference options.jl:53)
+    differentiate: bool = False
+
+    # warmstart: keep the caller-provided primal-dual point instead of
+    # reinitializing slacks/duals (reference options.jl:57, solve.jl:10-13)
+    warmstart: bool = False
+
+    # filter capacity; reset every outer iteration so
+    # max_residual_iterations + 2 always suffices (reference filter.jl)
+    max_filter: int = 102
+
+    # host-side verbose printing via jax.debug.callback (off inside vmap)
+    verbose: bool = False
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)

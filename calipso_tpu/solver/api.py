@@ -1,0 +1,124 @@
+"""User-facing solver API.
+
+Mirrors the reference's construction/solve surface (reference
+src/solver/solver.jl:152-173 `Solver(objective, equality, cone,
+num_variables)`, solve.jl `solve!`, initialize.jl `initialize!`) around the
+functional jitted core. The functional core (`solve_fn`) is exposed for
+vmap/pjit composition; the `Solver` class is the ergonomic wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from calipso_tpu.options import Options
+from calipso_tpu.ops.cones import ConeLayout
+from calipso_tpu.solver.problem import ProblemFunctions
+from calipso_tpu.solver.solve import make_solve, State
+from calipso_tpu.solver.kkt import Blocks
+from calipso_tpu.solver import differentiate
+
+
+class SolveResult(NamedTuple):
+    state: State
+    sensitivity: jnp.ndarray  # (total, num_parameters), zeros if not differentiated
+
+    @property
+    def variables(self):
+        return self.state.p.x
+
+    @property
+    def solution(self) -> Blocks:
+        return self.state.p
+
+    @property
+    def solved(self):
+        return self.state.solved
+
+    @property
+    def iterations(self):
+        return self.state.total_i
+
+
+def solve_fn(fns: ProblemFunctions, layout: ConeLayout, opts: Options):
+    """Functional solve closure: (x0, theta, warm) -> SolveResult.
+    Pure and shape-static: compose with jax.jit / vmap / shard_map."""
+    core = make_solve(fns, layout, opts)
+
+    def run(x0, theta=None, warm=None) -> SolveResult:
+        x0 = jnp.asarray(x0)
+        theta_arr = (
+            jnp.zeros((fns.dims.parameters,), x0.dtype)
+            if theta is None
+            else jnp.asarray(theta, x0.dtype)
+        )
+        state = core(x0, theta_arr, warm)
+        if opts.differentiate and fns.dims.parameters > 0:
+            sens = differentiate.solution_sensitivity(fns, layout, opts, state, theta_arr)
+        else:
+            sens = jnp.zeros((fns.dims.total, fns.dims.parameters), x0.dtype)
+        return SolveResult(state, sens)
+
+    return run
+
+
+class Solver:
+    """Conic AL-IPM solver for
+        min_x c(x; theta)  s.t.  g(x; theta) = 0,  h(x; theta) in K.
+
+    Example (the Wachter problem, reference test/solver/wachter.jl):
+        solver = Solver(lambda x: x[0],
+                        lambda x: jnp.array([x[0]**2 - x[1] - 1, x[0] - x[2] - 0.5]),
+                        lambda x: x[1:3], 3)
+        solver.initialize(jnp.array([-2.0, 3.0, 1.0]))
+        result = solver.solve()
+    """
+
+    def __init__(
+        self,
+        objective,
+        equality,
+        cone,
+        num_variables: int,
+        *,
+        parameters=None,
+        num_parameters: Optional[int] = None,
+        nonnegative_indices=None,
+        second_order_indices=None,
+        options: Options = Options(),
+    ):
+        if parameters is not None:
+            parameters = jnp.asarray(parameters).reshape(-1)
+            num_parameters = parameters.shape[0]
+        self.parameters = parameters
+        npar = int(num_parameters or 0)
+
+        self.fns = ProblemFunctions(objective, equality, cone, num_variables, npar)
+        self.layout = ConeLayout(
+            self.fns.dims.cone, nonnegative_indices, second_order_indices
+        )
+        self.options = options
+        self.dims = self.fns.dims
+        self._run = jax.jit(solve_fn(self.fns, self.layout, options))
+        self._guess = None
+        self._warm = None
+
+    def initialize(self, x0):
+        """Set the primal initial guess (reference initialize.jl:9-14)."""
+        self._guess = jnp.asarray(x0)
+        return self
+
+    def solve(self, x0=None, parameters=None, warm: Optional[Blocks] = None) -> SolveResult:
+        if x0 is None:
+            x0 = self._guess
+        if x0 is None:
+            raise ValueError("no initial guess: call initialize(x0) or pass x0")
+        theta = parameters if parameters is not None else self.parameters
+        if warm is None and self.options.warmstart:
+            warm = self._warm
+        result = self._run(jnp.asarray(x0), theta, warm)
+        self._warm = result.state.p  # retained for warmstart MPC loops
+        return result

@@ -1,0 +1,515 @@
+"""The AL-IPM solve loop as one XLA program.
+
+Functional rebuild of the reference main loop (reference
+src/solver/solve.jl:8-377): outer loop updates the central path kappa, the
+fraction-to-the-boundary tau, and the augmented-Lagrangian (lambda, rho);
+the inner loop takes inertia-corrected Newton steps on the 6-block KKT
+residual, globalized by a fraction-to-the-boundary cone search plus an
+Ipopt-style filter line search.
+
+TPU-native differences from the reference:
+  * the whole solve is a nest of lax.while_loops -- no Python control flow
+    touches traced values, so solves jit, vmap and shard;
+  * failures (cone line-search overflow solve.jl:210, inertia overflow
+    inertia.jl:72) are status flags in the carried state, not exceptions;
+  * all bounded data-dependent loops (backtracking, inertia ladder,
+    refinement) are masked while_loops so batched lanes stay in lockstep.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from calipso_tpu.ops import cones
+from calipso_tpu.ops.ldl import inertia_counts, ldl_solve
+from calipso_tpu.solver import kkt
+from calipso_tpu.solver.kkt import Blocks
+from calipso_tpu.utils.norms import norm_p, inf_norm, one_norm
+
+BIG = 1.0e8  # empty-filter sentinel (reference filter.jl:8-13)
+
+
+class State(NamedTuple):
+    p: Blocks  # current primal-dual iterate (x, r, s, y, z, t)
+    kappa: jnp.ndarray  # central path
+    tau: jnp.ndarray  # fraction to boundary
+    rho: jnp.ndarray  # AL penalty
+    lam: jnp.ndarray  # AL dual estimate (m_e,)
+    eps_p_last: jnp.ndarray  # regularization warm start (inertia.jl:76)
+    eps_p_used: jnp.ndarray  # regularization of the last factorization
+    eps_d_used: jnp.ndarray
+    filt: jnp.ndarray  # (F, 2) filter pairs (violation, merit)
+    nfilt: jnp.ndarray  # filter count
+    solved: jnp.ndarray
+    failed: jnp.ndarray
+    inner_done: jnp.ndarray
+    outer_i: jnp.ndarray
+    inner_i: jnp.ndarray
+    total_i: jnp.ndarray
+    # diagnostics of the last evaluated point
+    residual_violation: jnp.ndarray
+    optimality_violation: jnp.ndarray
+    slack_violation: jnp.ndarray
+    equality_violation: jnp.ndarray
+    cone_product_violation: jnp.ndarray
+    step_size: jnp.ndarray
+
+
+# ---- filter (reference filter.jl:43-89) -------------------------------------
+
+
+def filter_check(cv, merit, filt):
+    """Acceptable to the filter iff for every pair: cv < f1 or merit < f2."""
+    return jnp.all((cv < filt[:, 0]) | (merit < filt[:, 1]))
+
+
+def filter_augment(filt, nfilt, cv, merit):
+    """Add (cv, merit) with dominance pruning. Dominated old entries are
+    overwritten with the vacuous sentinel instead of compacted (same
+    semantics as the reference's compaction, jit-friendly)."""
+    passes = filter_check(cv, merit, filt)
+    dominated = (filt[:, 0] >= cv) & (filt[:, 1] >= merit)
+    pruned = jnp.where(dominated[:, None], jnp.full_like(filt, BIG), filt)
+    idx = jnp.minimum(nfilt, filt.shape[0] - 1)
+    added = pruned.at[idx].set(jnp.stack([cv, merit]))
+    return (
+        jnp.where(passes, added, filt),
+        jnp.where(passes, nfilt + 1, nfilt),
+    )
+
+
+# ---- line-search predicates (reference line_search.jl:2-18) -----------------
+
+
+def switching_condition(step_size, dgrad, merit_exp, violation, violation_exp):
+    return (dgrad < 0.0) & (
+        step_size * (-dgrad) ** merit_exp > violation**violation_exp
+    )
+
+
+def armijo(merit, merit_cand, dgrad, step_size, tol, mach_tol):
+    return merit_cand - merit - 10.0 * mach_tol * jnp.abs(merit) <= tol * step_size * dgrad
+
+
+def sufficient_progress(v, v_cand, m, m_cand, v_tol, m_tol, mach_tol):
+    return (v_cand - 10.0 * mach_tol * jnp.abs(v) <= (1.0 - v_tol) * v) | (
+        m_cand - 10.0 * mach_tol * jnp.abs(m) <= m - m_tol * v
+    )
+
+
+# ---- solver construction ----------------------------------------------------
+
+
+def make_solve(fns, layout, opts):
+    """Build the jittable solve(x0, theta[, warm]) closure for a fixed
+    problem (fns/layout/opts are trace-time static)."""
+    dims = fns.dims
+    n, me, mc, npar = dims.variables, dims.equality, dims.cone, dims.parameters
+    ns, ntot = dims.symmetric, dims.total
+
+    def merit_value(f, r, barrier_val, kappa, lam, rho):
+        """AL + barrier merit M = f + lam'r + rho/2 |r|^2 - kappa*Phi
+        (reference merit.jl:2-15)."""
+        m = f - kappa * barrier_val
+        if me > 0:
+            m = m + lam @ r + 0.5 * rho * (r @ r)
+        return m
+
+    def constraint_violation(g, r, h, s, p_norm):
+        """theta = |(g - r; h - s)|_p / (m_e + m_c) (reference
+        constraint_violation.jl:1-13)."""
+        if me + mc == 0:
+            return jnp.zeros((), g.dtype)
+        c = jnp.concatenate([g - r, h - s])
+        return norm_p(c, p_norm) / (me + mc)
+
+    def optimality_error(p, res):
+        """Ipopt-style scaled optimality error (reference
+        optimality_error.jl:1-27)."""
+        if me + mc > 0:
+            sd = jnp.maximum(100.0, (one_norm(p.y) + one_norm(p.z)) / (me + mc)) / 100.0
+        else:
+            sd = 1.0
+        sc = jnp.maximum(100.0, one_norm(p.t) / mc) / 100.0 if mc > 0 else 1.0
+        return jnp.max(
+            jnp.stack(
+                [
+                    inf_norm(res.primals) / sd,
+                    inf_norm(res.y),
+                    inf_norm(res.z),
+                    inf_norm(res.t) / sc,
+                ]
+            )
+        )
+
+    def evaluate_residual(p, theta, kappa, rho, lam):
+        x, y, z = p.x, p.y, p.z
+        fx = fns.fx(x, theta)
+        gty = fns.gty_x(x, theta, y) if me > 0 else jnp.zeros_like(x)
+        htz = fns.htz_x(x, theta, z) if mc > 0 else jnp.zeros_like(x)
+        g = fns.g(x, theta)
+        h = fns.h(x, theta)
+        sot = cones.product(layout, p.s, p.t)
+        e = layout.target(x.dtype)
+        res = kkt.residual(fx, gty, htz, g, h, sot, e, p, kappa, rho, lam)
+        return res, fx, g, h, sot
+
+    # ---- inertia correction (reference inertia.jl:30-79) --------------------
+
+    def inertia_correction(Hxx, gx, hx, s, t, rho, kappa, eps_p_last, dtype):
+        e_p0 = jnp.asarray(opts.primal_regularization_initial, dtype)
+        e_d0 = jnp.asarray(opts.dual_regularization_initial, dtype)
+
+        fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0)
+        ok0 = kkt.inertia_ok(fact0, n, me, mc)
+
+        # IC-2: rank-deficiency -> dual regularization scaled by kappa
+        _, _, zero0 = inertia_counts(fact0.d)
+        e_d1 = jnp.where(
+            zero0 != 0,
+            opts.dual_regularization * kappa**opts.dual_regularization_exponent,
+            e_d0,
+        )
+        # IC-3: primal regularization warm start from the last accepted value
+        e_p1 = jnp.where(
+            eps_p_last == 0.0,
+            e_p0,
+            jnp.maximum(opts.min_regularization, opts.scaling_regularization_last * eps_p_last),
+        )
+        scale = jnp.where(
+            eps_p_last == 0.0,
+            opts.scaling_regularization_initial,
+            opts.scaling_regularization,
+        )
+
+        def cond(c):
+            _, _, done, failed = c
+            return (~done) & (~failed)
+
+        def body(c):
+            _, e_p, _, _ = c
+            fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p, e_d1)
+            ok = kkt.inertia_ok(fact, n, me, mc)
+            e_p_next = jnp.where(ok, e_p, e_p * scale)  # IC-5
+            failed = (~ok) & (e_p_next > opts.max_regularization)  # IC-6
+            return fact, e_p_next, ok, failed
+
+        fact, _, _, ic_failed = lax.while_loop(cond, body, (fact0, e_p1, ok0, jnp.asarray(False)))
+        # primal_regularization_last updates only when the ladder ran
+        # (reference inertia.jl: early return on IC-1 success)
+        eps_p_last_new = jnp.where(ok0, eps_p_last, fact.eps_p)
+        return fact, ic_failed, eps_p_last_new
+
+    # ---- iterative refinement (reference iterative_refinement.jl:1-53) ------
+
+    def refine(step, res, Hxx, gx, hx, fact, s, t, rho):
+        def err_of(stp):
+            mv = kkt.matvec(layout, Hxx, gx, hx, s, t, rho, fact.eps_p, fact.eps_d, stp)
+            return Blocks(*(a - b for a, b in zip(res, mv)))
+
+        err0 = err_of(step)
+        en0 = inf_norm(err0.all)
+
+        def cond(c):
+            _, _, en, i, done = c
+            return (~done) & (i <= opts.max_iterative_refinement)
+
+        def body(c):
+            stp, err, en, i, _ = c
+            done_now = (en <= opts.iterative_refinement_tolerance) & (
+                i >= opts.min_iterative_refinement
+            )
+            corr = kkt.solve_with(layout, fact, err, s, t, rho, n, me, mc)
+            stp2 = Blocks(*(jnp.where(done_now, a, a + b) for a, b in zip(stp, corr)))
+            err2 = err_of(stp2)
+            en2 = jnp.where(done_now, en, inf_norm(err2.all))
+            err2 = Blocks(*(jnp.where(done_now, a, b) for a, b in zip(err, err2)))
+            return stp2, err2, en2, i + (~done_now).astype(i.dtype), done_now
+
+        stp_f, _, en_f, _, _ = lax.while_loop(
+            cond, body, (step, err0, en0, jnp.zeros((), jnp.int32), jnp.asarray(False))
+        )
+        # guard: never return a step worse than the unrefined one
+        ok = en_f <= jnp.maximum(en0, opts.iterative_refinement_tolerance)
+        return Blocks(*(jnp.where(ok, a, b) for a, b in zip(stp_f, step)))
+
+    # ---- fraction-to-the-boundary cone search (reference solve.jl:193-221) --
+
+    def ftb_search(u, du, tau):
+        one = jnp.ones((), u.dtype)
+        if mc == 0:
+            return one, jnp.asarray(False)
+        v0 = cones.violation(layout, u - du, u, tau)
+
+        def cond(c):
+            _, k, viol = c
+            return viol & (k < opts.max_cone_line_search)
+
+        def body(c):
+            a, k, _ = c
+            a2 = opts.scaling_line_search * a
+            return a2, k + 1, cones.violation(layout, u - a2 * du, u, tau)
+
+        a, _, viol = lax.while_loop(cond, body, (one, jnp.zeros((), jnp.int32), v0))
+        return a, viol
+
+    # ---- the inner Newton iteration -----------------------------------------
+
+    def do_step(st, theta, res, fval, fx, g, h):
+        p = st.p
+        dtype = p.x.dtype
+        x, r, s, y, z, t = p
+
+        # pre-step constraint violation theta (reference solve.jl:170-172)
+        cv = constraint_violation(g, r, h, s, opts.constraint_norm)
+
+        # second derivatives (the hot evaluation, reference solve.jl:175-185)
+        Hxx = fns.lagrangian_hessian_xx(x, theta, y, z, opts.constraint_tensor)
+        gx = fns.gx(x, theta)
+        hx = fns.hx(x, theta)
+
+        # inertia-corrected factorization
+        fact, ic_failed, eps_p_last = inertia_correction(
+            Hxx, gx, hx, s, t, st.rho, st.kappa, st.eps_p_last, dtype
+        )
+
+        # search direction + refinement
+        step = kkt.solve_with(layout, fact, res, s, t, st.rho, n, me, mc)
+        if opts.iterative_refinement:
+            step = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
+
+        # merit and its directional derivative (reference merit.jl:2-31)
+        barrier_val = cones.barrier(layout, s)
+        barrier_grad = cones.barrier_gradient(layout, s)
+        merit = merit_value(fval, r, barrier_val, st.kappa, st.lam, st.rho)
+        merit_grad = jnp.concatenate(
+            [fx, st.lam + st.rho * r, -st.kappa * barrier_grad]
+        )
+        dgrad = merit_grad @ step.primals
+
+        # cone fraction-to-the-boundary searches; t gets its own step size
+        # (reference solve.jl:191-221)
+        alpha_s, fail_s = ftb_search(s, step.s, st.tau)
+        alpha_t, fail_t = ftb_search(t, step.t, st.tau)
+
+        # filter line search on (x, r, s) (reference solve.jl:252-302)
+        def cand_eval(a):
+            xh = x - a * step.x
+            rh = r - a * step.r
+            sh = s - a * step.s
+            fh = fns.f(xh, theta)
+            gh = fns.g(xh, theta)
+            hh = fns.h(xh, theta)
+            mh = merit_value(fh, rh, cones.barrier(layout, sh), st.kappa, st.lam, st.rho)
+            th = constraint_violation(gh, rh, hh, sh, opts.constraint_norm)
+            return mh, th
+
+        m0, t0 = cand_eval(alpha_s)
+
+        def ls_cond(c):
+            _, _, _, k, accepted = c
+            return (~accepted) & (k < opts.max_residual_line_search)
+
+        def ls_body(c):
+            a, mh, th, k, _ = c
+            ok_filter = filter_check(th, mh, st.filt)
+            c1 = (
+                (cv <= opts.slack_tolerance)
+                & switching_condition(
+                    a, dgrad, opts.merit_exponent, cv, opts.violation_exponent
+                )
+                & armijo(merit, mh, dgrad, a, opts.armijo_tolerance, opts.machine_tolerance)
+            )
+            c2 = sufficient_progress(
+                cv, th, merit, mh,
+                opts.violation_tolerance, opts.merit_tolerance, opts.machine_tolerance,
+            )
+            accepted = ok_filter & (c1 | c2)
+
+            def halve(_):
+                a2 = opts.scaling_line_search * a
+                m2, t2 = cand_eval(a2)
+                return a2, m2, t2
+
+            a2, m2, t2 = lax.cond(accepted, lambda _: (a, mh, th), halve, None)
+            return a2, m2, t2, k + (~accepted).astype(k.dtype), accepted
+
+        alpha, m_cand, t_cand, _, _ = lax.while_loop(
+            ls_cond, ls_body, (alpha_s, m0, t0, jnp.zeros((), jnp.int32), jnp.asarray(False))
+        )
+
+        # filter augmentation (reference filter.jl:81-89): add the pre-step
+        # pair when the switching or Armijo condition failed at alpha
+        sw = switching_condition(alpha, dgrad, opts.merit_exponent, cv, opts.violation_exponent)
+        ar = armijo(merit, m_cand, dgrad, alpha, opts.armijo_tolerance, opts.machine_tolerance)
+        filt_a, nfilt_a = filter_augment(
+            st.filt, st.nfilt,
+            (1.0 - opts.violation_tolerance) * cv,
+            merit - opts.merit_tolerance * cv,
+        )
+        do_aug = ~(sw & ar)
+        filt = jnp.where(do_aug, filt_a, st.filt)
+        nfilt = jnp.where(do_aug, nfilt_a, st.nfilt)
+
+        # accept (reference solve.jl:309-326); duals share the primal alpha,
+        # t uses its own cone step size
+        p_new = Blocks(
+            x - alpha * step.x,
+            r - alpha * step.r,
+            s - alpha * step.s,
+            y - alpha * step.y,
+            z - alpha * step.z,
+            t - alpha_t * step.t,
+        )
+
+        return st._replace(
+            p=p_new,
+            eps_p_last=eps_p_last,
+            eps_p_used=fact.eps_p,
+            eps_d_used=fact.eps_d,
+            filt=filt,
+            nfilt=nfilt,
+            failed=st.failed | ic_failed | fail_s | fail_t,
+            inner_i=st.inner_i + 1,
+            total_i=st.total_i + 1,
+            step_size=alpha,
+        )
+
+    def inner_body(st, theta):
+        res, fx, g, h, sot = evaluate_residual(st.p, theta, st.kappa, st.rho, st.lam)
+        fval = fns.f(st.p.x, theta)
+
+        residual_violation = norm_p(res.all, opts.residual_norm) / ntot
+        slack_violation = jnp.maximum(inf_norm(res.y), inf_norm(res.z))
+        equality_violation = inf_norm(g)
+        cone_product_violation = inf_norm(sot)
+        opt_violation = optimality_error(st.p, res)
+
+        solved = (
+            (residual_violation < opts.residual_tolerance)
+            & (slack_violation < opts.slack_tolerance)
+            & (equality_violation <= opts.equality_tolerance)
+            & (cone_product_violation <= opts.complementarity_tolerance)
+        )
+        inner_done = (~solved) & (
+            opt_violation
+            <= jnp.maximum(
+                opts.central_path_update_tolerance * st.kappa, opts.optimality_tolerance
+            )
+        )
+
+        st = st._replace(
+            solved=st.solved | solved,
+            inner_done=inner_done,
+            residual_violation=residual_violation,
+            optimality_violation=opt_violation,
+            slack_violation=slack_violation,
+            equality_violation=equality_violation,
+            cone_product_violation=cone_product_violation,
+        )
+        take = ~(st.solved | st.inner_done | st.failed)
+        return lax.cond(
+            take,
+            lambda s: do_step(s, theta, res, fval, fx, g, h),
+            lambda s: s,
+            st,
+        )
+
+    def outer_body(st, theta):
+        st = st._replace(inner_done=jnp.asarray(False), inner_i=jnp.zeros((), jnp.int32))
+
+        st = lax.while_loop(
+            lambda s: (s.inner_i < opts.max_residual_iterations)
+            & ~(s.solved | s.failed | s.inner_done),
+            lambda s: inner_body(s, theta),
+            st,
+        )
+
+        active = ~(st.solved | st.failed)
+        # outer updates (reference solve.jl:356-365)
+        kappa_n = jnp.maximum(
+            opts.residual_tolerance / 10.0,
+            jnp.minimum(
+                opts.central_path_scaling * st.kappa,
+                st.kappa**opts.central_path_exponent,
+            ),
+        )
+        tau_n = jnp.maximum(0.99, 1.0 - kappa_n)
+        lam_n = st.lam + st.rho * st.p.r
+        rho_n = jnp.minimum(
+            jnp.maximum(opts.penalty_scaling * st.rho, 1.0 / kappa_n), opts.max_penalty
+        )
+        filt_n = jnp.full_like(st.filt, BIG)
+
+        return st._replace(
+            kappa=jnp.where(active, kappa_n, st.kappa),
+            tau=jnp.where(active, tau_n, st.tau),
+            lam=jnp.where(active, lam_n, st.lam),
+            rho=jnp.where(active, rho_n, st.rho),
+            filt=jnp.where(active, filt_n, st.filt),
+            nfilt=jnp.where(active, jnp.zeros_like(st.nfilt), st.nfilt),
+            outer_i=st.outer_i + 1,
+        )
+
+    def init_state(x0, theta, warm: Optional[Blocks] = None) -> State:
+        dtype = x0.dtype
+        if opts.warmstart and warm is not None:
+            p = warm
+        else:
+            # reference initialize.jl:15-36: r <- g(x0); s, t <- cone
+            # interior point; y, z <- 0
+            g0 = fns.g(x0, theta)
+            p = Blocks(
+                x0,
+                g0,
+                layout.initialize(dtype),
+                jnp.zeros((me,), dtype),
+                jnp.zeros((mc,), dtype),
+                layout.initialize(dtype),
+            )
+        kappa = jnp.asarray(opts.central_path_initial, dtype)
+        z0 = jnp.zeros((), dtype)
+        i0 = jnp.zeros((), jnp.int32)
+        return State(
+            p=p,
+            kappa=kappa,
+            tau=jnp.maximum(jnp.asarray(0.99, dtype), 1.0 - kappa),
+            rho=jnp.asarray(opts.penalty_initial, dtype),
+            lam=jnp.full((me,), opts.dual_initial, dtype),
+            eps_p_last=z0,
+            eps_p_used=jnp.asarray(opts.primal_regularization_initial, dtype),
+            eps_d_used=jnp.asarray(opts.dual_regularization_initial, dtype),
+            filt=jnp.full((opts.max_filter, 2), BIG, dtype),
+            nfilt=i0,
+            solved=jnp.asarray(False),
+            failed=jnp.asarray(False),
+            inner_done=jnp.asarray(False),
+            outer_i=i0,
+            inner_i=i0,
+            total_i=i0,
+            residual_violation=z0,
+            optimality_violation=z0,
+            slack_violation=z0,
+            equality_violation=z0,
+            cone_product_violation=z0,
+            step_size=jnp.ones((), dtype),
+        )
+
+    def solve(x0, theta=None, warm: Optional[Blocks] = None) -> State:
+        x0 = jnp.asarray(x0)
+        theta = (
+            jnp.zeros((npar,), x0.dtype) if theta is None else jnp.asarray(theta, x0.dtype)
+        )
+        st = init_state(x0, theta, warm)
+        st = lax.while_loop(
+            lambda s: (s.outer_i < opts.max_outer_iterations) & ~(s.solved | s.failed),
+            lambda s: outer_body(s, theta),
+            st,
+        )
+        return st
+
+    return solve

@@ -1,0 +1,64 @@
+"""Batched + sharded solving: vmap over scenarios and shard_map over the
+8-device virtual CPU mesh (new TPU-native capability; the reference is
+single-process, SURVEY.md section 2.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from calipso_tpu import BatchedSolver
+
+
+def _make_batched():
+    # friction-cone family parameterized by (v, mu*gamma)
+    return BatchedSolver(
+        lambda x, th: th[:3] @ x,
+        lambda x, th: jnp.array([x[0] - th[3]]),
+        lambda x, th: x,
+        3,
+        num_parameters=4,
+        nonnegative_indices=[],
+        second_order_indices=[[0, 1, 2]],
+    )
+
+
+def _scenarios(B, rng):
+    thetas = np.zeros((B, 4))
+    thetas[:, 1] = rng.uniform(0.1, 10.0, B)
+    thetas[:, 2] = rng.uniform(0.1, 10.0, B)
+    thetas[:, 3] = rng.uniform(0.1, 1.0, B)
+    x0 = rng.normal(size=(B, 3))
+    return jnp.asarray(x0), jnp.asarray(thetas)
+
+
+def test_vmap_batch():
+    bs = _make_batched()
+    rng = np.random.default_rng(0)
+    x0, th = _scenarios(16, rng)
+    res = bs.solve(x0, th)
+    assert bool(jnp.all(res.state.solved))
+    x = np.asarray(res.state.p.x)
+    # friction force opposes velocity, magnitude mu*gamma
+    for i in range(16):
+        v = np.asarray(th[i, 1:3])
+        b = x[i, 1:3]
+        assert np.max(np.abs(v / np.linalg.norm(v) + b / np.linalg.norm(b))) < 1e-3
+        assert abs(np.linalg.norm(b) - float(th[i, 3])) < 1e-3
+
+
+def test_sharded_batch():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
+    mesh = Mesh(np.array(devs), axis_names=("batch",))
+    bs = _make_batched()
+    rng = np.random.default_rng(1)
+    x0, th = _scenarios(16, rng)
+    res = bs.solve(x0, th, mesh=mesh, axis="batch")
+    assert bool(jnp.all(res.state.solved))
+
+    # solutions match the unsharded run
+    res_ref = bs.solve(x0, th)
+    np.testing.assert_allclose(
+        np.asarray(res.state.p.x), np.asarray(res_ref.state.p.x), atol=1e-10
+    )
