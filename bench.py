@@ -1,0 +1,130 @@
+"""Benchmark: batched trajopt solves/s on the current accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference repo publishes no performance numbers (BASELINE.md: "no
+benchmarks directory, no timing tables"), and Julia is not present in this
+image, so vs_baseline is reported against a pinned nominal value
+(NOMINAL_SOLVES_PER_S below) representing a single-threaded CPU solver
+solving the same pendulum problems sequentially; update when a real
+reference measurement exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# nominal sequential-CPU throughput for the pendulum problem family
+# (placeholder baseline; see module docstring)
+NOMINAL_SOLVES_PER_S = 10.0
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+HORIZON = int(os.environ.get("BENCH_HORIZON", "11"))
+
+
+def build():
+    from calipso_tpu import TrajOptSolver, Options
+    from calipso_tpu.solver.api import solve_fn
+
+    def pend_c(x, u):
+        return jnp.array(
+            [x[1], u[0] / 0.25 - 9.81 * jnp.sin(x[0]) / 0.5 - 0.1 * x[1] / 0.25]
+        )
+
+    def pend_d(y, x, u):
+        return y - (x + 0.05 * pend_c(0.5 * (x + y), u))
+
+    H = HORIZON
+    xg = jnp.array([np.pi, 0.0])
+    objective = [
+        *[(lambda x, u, w: 0.1 * x @ x + 0.1 * u @ u)] * (H - 1),
+        lambda x, u, w: 0.1 * x @ x,
+    ]
+    equality = [
+        lambda x, u, w: x - w,  # initial state is the scenario parameter
+        *[None] * (H - 2),
+        lambda x, u, w: x - xg,
+    ]
+    opts = Options(
+        residual_tolerance=1e-3,
+        optimality_tolerance=1e-3,
+        slack_tolerance=1e-3,
+        equality_tolerance=1e-3,
+        complementarity_tolerance=1e-3,
+        iterative_refinement_tolerance=1e-6,
+    )
+    ts = TrajOptSolver(
+        objective,
+        [pend_d] * (H - 1),
+        [2] * H,
+        [1] * (H - 1),
+        equality=equality,
+        parameters=[np.zeros(2)] + [np.zeros(0)] * (H - 1),
+        options=opts,
+    )
+    run = solve_fn(ts.solver.fns, ts.solver.layout, ts.solver.options)
+
+    # shared swing-up guess, scenario-specific initial state
+    guess = np.zeros(ts.num_variables)
+    for t, idx in enumerate(ts._state_indices):
+        guess[idx] = np.asarray(xg) * t / (H - 1)
+
+    def solve_batch(x0s):
+        return jax.vmap(lambda th: run(jnp.asarray(guess, x0s.dtype), th))(x0s)
+
+    return jax.jit(solve_batch)
+
+
+def main():
+    solve_batch = build()
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
+
+    # warmup / compile
+    t0 = time.time()
+    res = solve_batch(x0s)
+    jax.block_until_ready(res.state.p.x)
+    compile_s = time.time() - t0
+
+    n_solved = int(jnp.sum(res.state.solved))
+    iters = int(jnp.sum(res.state.total_i))
+
+    reps = 3
+    t0 = time.time()
+    for r in range(reps):
+        x0s_r = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
+        res = solve_batch(x0s_r)
+        jax.block_until_ready(res.state.p.x)
+    dt = (time.time() - t0) / reps
+
+    solves_per_s = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"batched pendulum trajopt solves/s (T={HORIZON}, B={BATCH}, "
+                f"{jax.devices()[0].platform})",
+                "value": round(solves_per_s, 3),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / NOMINAL_SOLVES_PER_S, 3),
+                "extra": {
+                    "solved": n_solved,
+                    "batch": BATCH,
+                    "total_inner_iterations": iters,
+                    "compile_s": round(compile_s, 1),
+                    "per_batch_wall_s": round(dt, 3),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

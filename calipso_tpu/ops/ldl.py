@@ -63,11 +63,20 @@ def ldl_solve(L, d, b):
 
 
 def inertia_counts(d):
-    """(num_positive, num_negative, num_zero) from sign(D); non-finite or
-    exactly-zero pivots count as zero eigenvalues (reference
-    linear_solver.jl:33-44)."""
+    """(num_positive, num_negative, num_zero) from sign(D); non-finite
+    pivots and pivots below a dtype-scaled relative threshold count as zero
+    eigenvalues (reference linear_solver.jl:33-44 counts exact signs, which
+    is safe in f64 only -- in f32 rounding noise around zero must trigger
+    the regularization ladder instead of silently passing the inertia
+    test, or indefinite systems go uncorrected and the line search
+    stalls)."""
+    if d.shape[0] == 0:
+        z = jnp.zeros((), jnp.int32)
+        return z, z, z
+    eps = float(jnp.finfo(d.dtype).eps)
+    tol = 10.0 * eps * jnp.max(jnp.abs(jnp.where(jnp.isfinite(d), d, 0.0)))
     finite = jnp.isfinite(d)
-    pos = jnp.sum(finite & (d > 0.0))
-    neg = jnp.sum(finite & (d < 0.0))
+    pos = jnp.sum(finite & (d > tol))
+    neg = jnp.sum(finite & (d < -tol))
     zero = d.shape[0] - pos - neg
     return pos, neg, zero

@@ -262,6 +262,10 @@ def make_solve(fns, layout, opts):
     def do_step(st, theta, res, fval, fx, g, h):
         p = st.p
         dtype = p.x.dtype
+        # dtype-aware machine tolerance: the reference's 1e-16 is f64 eps;
+        # in f32 the 10*eps*|M| noise slacks must widen accordingly
+        import numpy as _np
+        mach = max(opts.machine_tolerance, float(_np.finfo(dtype).eps))
         x, r, s, y, z, t = p
 
         # pre-step constraint violation theta (reference solve.jl:170-172)
@@ -322,11 +326,11 @@ def make_solve(fns, layout, opts):
                 & switching_condition(
                     a, dgrad, opts.merit_exponent, cv, opts.violation_exponent
                 )
-                & armijo(merit, mh, dgrad, a, opts.armijo_tolerance, opts.machine_tolerance)
+                & armijo(merit, mh, dgrad, a, opts.armijo_tolerance, mach)
             )
             c2 = sufficient_progress(
                 cv, th, merit, mh,
-                opts.violation_tolerance, opts.merit_tolerance, opts.machine_tolerance,
+                opts.violation_tolerance, opts.merit_tolerance, mach,
             )
             accepted = ok_filter & (c1 | c2)
 
@@ -345,7 +349,7 @@ def make_solve(fns, layout, opts):
         # filter augmentation (reference filter.jl:81-89): add the pre-step
         # pair when the switching or Armijo condition failed at alpha
         sw = switching_condition(alpha, dgrad, opts.merit_exponent, cv, opts.violation_exponent)
-        ar = armijo(merit, m_cand, dgrad, alpha, opts.armijo_tolerance, opts.machine_tolerance)
+        ar = armijo(merit, m_cand, dgrad, alpha, opts.armijo_tolerance, mach)
         filt_a, nfilt_a = filter_augment(
             st.filt, st.nfilt,
             (1.0 - opts.violation_tolerance) * cv,
@@ -411,6 +415,17 @@ def make_solve(fns, layout, opts):
             equality_violation=equality_violation,
             cone_product_violation=cone_product_violation,
         )
+        if opts.verbose:
+            # host-side iteration telemetry (reference print.jl:20-53)
+            jax.debug.print(
+                "outer {j} inner {i} | res {r:.2e} opt {o:.2e} slack {sl:.2e} "
+                "eq {e:.2e} comp {c:.2e} | kappa {k:.1e} rho {p:.1e} alpha {a:.1e} "
+                "ep {ep:.1e} ed {ed:.1e}",
+                j=st.outer_i, i=st.inner_i, r=residual_violation, o=opt_violation,
+                sl=slack_violation, e=equality_violation, c=cone_product_violation,
+                k=st.kappa, p=st.rho, a=st.step_size,
+                ep=st.eps_p_used, ed=st.eps_d_used,
+            )
         take = ~(st.solved | st.inner_done | st.failed)
         return lax.cond(
             take,
