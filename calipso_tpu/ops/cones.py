@@ -191,6 +191,29 @@ def arrow_matrices(layout: ConeLayout, u):
     return A
 
 
+def c_block_solve(layout: ConeLayout, s, t, eps_p, eps_d, b):
+    """Solve (eps_d*I + M^{-1} Cv) x = b per cone, where Cv = arrow(v),
+    v = s - eps_d*e, M = arrow(w), w = t + eps_p*v. Multiplying by M:
+    (eps_d*arrow(w) + arrow(v)) x = arrow(w) b, all arrow ops. Used by the
+    Schur-complement backend to apply the inverse of the condensed cone
+    block. b may be (m_c,) or (m_c, k)."""
+    if layout.num_cone == 0:
+        return b
+    e = layout.target(s.dtype)
+    v = s - eps_d * e
+    w = t + eps_p * v
+    u = v + eps_d * w
+
+    def one(col):
+        return arrow_solve(layout, u, product(layout, w, col))
+
+    if b.ndim == 2:
+        import jax
+
+        return jax.vmap(one, in_axes=1, out_axes=1)(b)
+    return one(b)
+
+
 def condensed_block(layout: ConeLayout, s, t, eps_p, eps_d, dtype):
     """Dense (m_c, m_c) condensed cone block  -eps_d*I - M^{-1} arrow(v),
     where v = s - eps_d*e and M = arrow(t) + eps_p*arrow(v) = arrow(w),

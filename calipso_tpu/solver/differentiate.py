@@ -39,10 +39,11 @@ def solution_sensitivity(fns, layout, opts, state, theta):
 
     # refactorize at the solution with the last-used regularization
     # (reference differentiate.jl:13-20)
+    method = opts.linear_solver
     Hxx = fns.lagrangian_hessian_xx(x, theta, y, z, opts.constraint_tensor)
     gx = fns.gx(x, theta)
     hx = fns.hx(x, theta)
-    fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
+    fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method)
 
     # dR/dtheta blocks
     rxt = fns.fxt(x, theta)
@@ -56,7 +57,7 @@ def solution_sensitivity(fns, layout, opts, state, theta):
     # condensed RHS per column: slack rows are zero, so the corrections
     # vanish and the symmetric RHS is just [rxt; gt; ht]
     rhs = jnp.concatenate([rxt, gt, ht], axis=0)  # (ns, p)
-    d_sym = ldl_solve(fact.L, fact.d, rhs)  # batched triangular solves
+    d_sym = kkt.solve_sym(layout, fact, rhs, n, me, mc, method)  # batched solves
 
     dx = d_sym[:n]
     dy = d_sym[n : n + me]

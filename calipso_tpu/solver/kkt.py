@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from calipso_tpu.ops import cones
@@ -135,27 +136,109 @@ def matvec(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, d: Blocks) -> Blocks:
 
 
 class Factorization(NamedTuple):
-    L: jnp.ndarray
-    d: jnp.ndarray
+    """Factorization of the condensed system plus the context needed to
+    apply it. Two backends (static choice via Options.linear_solver):
+
+    * "ldl":   dense unpivoted LDL^T of the full (n+m_e+m_c) condensed
+               matrix; exact inertia from sign(D). Reference-faithful
+               (QDLDL analogue).
+    * "schur": one more Schur complement onto the primal block,
+               S = W + eps_p*I + gx' Ceq^-1 gx + hx' Ccone^-1 hx,
+               factorized by XLA's blocked Cholesky -- the MXU fast path.
+               Correct inertia <=> S is PD <=> the Cholesky is finite
+               (inertia(K) = inertia(-C) + inertia(S), C always PD).
+    """
+
+    L: jnp.ndarray  # ldl: unit-lower factor; schur: Cholesky factor of S
+    d: jnp.ndarray  # ldl: pivots of D; schur: empty
+    gx: jnp.ndarray
+    hx: jnp.ndarray
+    s: jnp.ndarray
+    t: jnp.ndarray
+    rho: jnp.ndarray
     eps_p: jnp.ndarray
     eps_d: jnp.ndarray
 
 
-def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
-    K = condensed_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
-    L, dvec = ldl_factor(K)
-    return Factorization(L, dvec, eps_p, eps_d)
+def _ceq(fact):
+    """Diagonal of the condensed equality block (positive)."""
+    return 1.0 / (fact.rho + fact.eps_p) + fact.eps_d
 
 
-def inertia_ok(fact: Factorization, n, me, mc):
+def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl"):
+    rho = jnp.asarray(rho, Hxx.dtype)
+    if method == "ldl":
+        K = condensed_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
+        L, dvec = ldl_factor(K)
+        return Factorization(L, dvec, gx, hx, s, t, rho, eps_p, eps_d)
+    assert method == "schur", method
+    n = Hxx.shape[0]
+    ceq = 1.0 / (rho + eps_p) + eps_d
+    S = Hxx + eps_p * jnp.eye(n, dtype=Hxx.dtype)
+    if gx.shape[0] > 0:
+        S = S + gx.T @ (gx / ceq)
+    if hx.shape[0] > 0:
+        Cinv_hx = cones.c_block_solve(layout, s, t, eps_p, eps_d, hx)
+        S = S + hx.T @ Cinv_hx
+    S = 0.5 * (S + S.T)
+    L = jnp.linalg.cholesky(S)
+    return Factorization(L, jnp.zeros((0,), Hxx.dtype), gx, hx, s, t, rho, eps_p, eps_d)
+
+
+def inertia_ok(fact: Factorization, n, me, mc, method="ldl"):
     """Target inertia (n positive, m_e+m_c negative, 0 zero) -- reference
-    inertia.jl:7-11."""
+    inertia.jl:7-11. The schur backend reads it off Cholesky success."""
+    if method == "schur":
+        return jnp.all(jnp.isfinite(fact.L))
     pos, neg, zero = inertia_counts(fact.d)
     return (pos == n) & (neg == me + mc) & (zero == 0)
 
 
-def solve_with(layout, fact: Factorization, res: Blocks, s, t, rho, n, me, mc) -> Blocks:
-    """Condense -> LDL solve -> expand, for an arbitrary 6-block RHS."""
+def num_zero_eigs(fact: Factorization, method="ldl"):
+    """Zero-eigenvalue count for the IC-2 rank-deficiency branch; the schur
+    backend cannot distinguish it (returns 0)."""
+    if method == "schur":
+        return jnp.zeros((), jnp.int32)
+    _, _, zero = inertia_counts(fact.d)
+    return zero.astype(jnp.int32)
+
+
+def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl"):
+    """Solve the condensed symmetric system for rhs of shape (ns,) or
+    (ns, k)."""
+    if method == "ldl":
+        return ldl_solve(fact.L, fact.d, rhs)
+    rx = rhs[:n]
+    req = rhs[n : n + me]
+    rcone = rhs[n + me :]
+    ceq = _ceq(fact)
+    rhs_x = rx
+    if me > 0:
+        t2 = req / ceq
+        rhs_x = rhs_x + fact.gx.T @ t2
+    if mc > 0:
+        t3 = cones.c_block_solve(layout, fact.s, fact.t, fact.eps_p, fact.eps_d, rcone)
+        rhs_x = rhs_x + fact.hx.T @ t3
+    vec = rhs_x.ndim == 1
+    b = rhs_x[:, None] if vec else rhs_x
+    y = jax.scipy.linalg.solve_triangular(fact.L, b, lower=True)
+    dx = jax.scipy.linalg.solve_triangular(fact.L, y, lower=True, trans="T")
+    if vec:
+        dx = dx[:, 0]
+    dy = (fact.gx @ dx - req) / ceq if me > 0 else req
+    if mc > 0:
+        dz = cones.c_block_solve(
+            layout, fact.s, fact.t, fact.eps_p, fact.eps_d, fact.hx @ dx - rcone
+        )
+    else:
+        dz = rcone
+    return jnp.concatenate([dx, dy, dz], axis=0)
+
+
+def solve_with(layout, fact: Factorization, res: Blocks, n, me, mc, method="ldl") -> Blocks:
+    """Condense -> factorized solve -> expand, for an arbitrary 6-block
+    RHS."""
+    s, t, rho = fact.s, fact.t, fact.rho
     rhs = condensed_rhs(layout, res, s, t, rho, fact.eps_p, fact.eps_d)
-    d_sym = ldl_solve(fact.L, fact.d, rhs)
+    d_sym = solve_sym(layout, fact, rhs, n, me, mc, method)
     return expand(layout, res, d_sym, n, me, mc, s, t, rho, fact.eps_p, fact.eps_d)

@@ -32,11 +32,19 @@ def empty_constraint(x, theta=None):
 
 
 def _normalize(fn: Callable) -> Callable:
-    """Accept f(x) or f(x, theta); always call as f(x, theta)."""
+    """Accept f(x) or f(x, theta); always call as f(x, theta). Only
+    required positional parameters count (defaults like h=0.05 don't)."""
     if fn is empty_constraint:
         return fn
     try:
-        nargs = len(inspect.signature(fn).parameters)
+        sig = inspect.signature(fn)
+        nargs = sum(
+            1
+            for p in sig.parameters.values()
+            if p.kind
+            in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+            and p.default is inspect.Parameter.empty
+        )
     except (TypeError, ValueError):
         nargs = 2
     if nargs >= 2:

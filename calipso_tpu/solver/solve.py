@@ -161,14 +161,19 @@ def make_solve(fns, layout, opts):
     # ---- inertia correction (reference inertia.jl:30-79) --------------------
 
     def inertia_correction(Hxx, gx, hx, s, t, rho, kappa, eps_p_last, dtype):
+        import numpy as _np
+
+        # cap the ladder limit to the dtype range (1e40 overflows f32)
+        max_reg = min(opts.max_regularization, float(_np.finfo(dtype).max) / 1e3)
         e_p0 = jnp.asarray(opts.primal_regularization_initial, dtype)
         e_d0 = jnp.asarray(opts.dual_regularization_initial, dtype)
 
-        fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0)
-        ok0 = kkt.inertia_ok(fact0, n, me, mc)
+        method = opts.linear_solver
+        fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method)
+        ok0 = kkt.inertia_ok(fact0, n, me, mc, method)
 
         # IC-2: rank-deficiency -> dual regularization scaled by kappa
-        _, _, zero0 = inertia_counts(fact0.d)
+        zero0 = kkt.num_zero_eigs(fact0, method)
         e_d1 = jnp.where(
             zero0 != 0,
             opts.dual_regularization * kappa**opts.dual_regularization_exponent,
@@ -192,10 +197,10 @@ def make_solve(fns, layout, opts):
 
         def body(c):
             _, e_p, _, _ = c
-            fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p, e_d1)
-            ok = kkt.inertia_ok(fact, n, me, mc)
+            fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p, e_d1, method)
+            ok = kkt.inertia_ok(fact, n, me, mc, method)
             e_p_next = jnp.where(ok, e_p, e_p * scale)  # IC-5
-            failed = (~ok) & (e_p_next > opts.max_regularization)  # IC-6
+            failed = (~ok) & (e_p_next > max_reg)  # IC-6
             return fact, e_p_next, ok, failed
 
         fact, _, _, ic_failed = lax.while_loop(cond, body, (fact0, e_p1, ok0, jnp.asarray(False)))
@@ -223,7 +228,7 @@ def make_solve(fns, layout, opts):
             done_now = (en <= opts.iterative_refinement_tolerance) & (
                 i >= opts.min_iterative_refinement
             )
-            corr = kkt.solve_with(layout, fact, err, s, t, rho, n, me, mc)
+            corr = kkt.solve_with(layout, fact, err, n, me, mc, opts.linear_solver)
             stp2 = Blocks(*(jnp.where(done_now, a, a + b) for a, b in zip(stp, corr)))
             err2 = err_of(stp2)
             en2 = jnp.where(done_now, en, inf_norm(err2.all))
@@ -282,7 +287,7 @@ def make_solve(fns, layout, opts):
         )
 
         # search direction + refinement
-        step = kkt.solve_with(layout, fact, res, s, t, st.rho, n, me, mc)
+        step = kkt.solve_with(layout, fact, res, n, me, mc, opts.linear_solver)
         if opts.iterative_refinement:
             step = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
 

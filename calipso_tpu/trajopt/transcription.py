@@ -31,17 +31,29 @@ def linear_interpolation(initial_state, final_state, horizon: int):
     return [traj[i] for i in range(horizon)]
 
 
+def _num_positional(fn: Callable, default: int) -> int:
+    """Count required positional parameters (defaulted/keyword-only args such
+    as a timestep `h=0.05` do not make a callable parameterized)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return default
+    return sum(
+        1
+        for p in sig.parameters.values()
+        if p.kind
+        in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        and p.default is inspect.Parameter.empty
+    )
+
+
 def _normalize_stage(fn: Callable, want_param: bool) -> Callable:
     """Wrap stage callables to the uniform (x, u, w) signature."""
     if fn is None:
         return None
-    import inspect
-
-    try:
-        nargs = len(inspect.signature(fn).parameters)
-    except (TypeError, ValueError):
-        nargs = 3
-    if nargs >= 3:
+    if _num_positional(fn, 3) >= 3:
         return fn
     return lambda x, u, w, _f=fn: _f(x, u)
 
@@ -61,13 +73,8 @@ class Dynamics:
     dynamics.jl:1-141)."""
 
     def __init__(self, fn: Callable):
-        import inspect
-
-        try:
-            nargs = len(inspect.signature(fn).parameters)
-        except (TypeError, ValueError):
-            nargs = 4
-        self.fn = fn if nargs >= 4 else (lambda y, x, u, w, _f=fn: _f(y, x, u))
+        n = _num_positional(fn, 4)
+        self.fn = fn if n >= 4 else (lambda y, x, u, w, _f=fn: _f(y, x, u))
 
     def __call__(self, y, x, u, w):
         return jnp.asarray(self.fn(y, x, u, w)).reshape(-1)

@@ -1,0 +1,119 @@
+"""MPC auto-tuning chain: differentiable solve -> jax.grad of rollout loss
+(reference test/autotuning.jl + examples/autotuning; the reference
+validates its hand-written chain rule, here jax.grad through the
+custom-VJP solve is validated against finite differences and the tuning
+loop must reduce the rollout loss)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from calipso_tpu import TrajOptSolver, Options
+from calipso_tpu.apps import autotuning
+
+
+A = np.array([[1.0, 0.1], [0.0, 1.0]])
+B = np.array([0.005, 0.1])
+HORIZON_MPC = 5
+
+
+def _mpc_solver():
+    def dyn(y, x, u, w):
+        return y - (jnp.asarray(A) @ x + jnp.asarray(B) * u[0])
+
+    def stage_cost(x, u, w):
+        return 0.5 * x @ (w[:2] * x) + 0.5 * w[2] * (u @ u)
+
+    def final_cost(x, u, w):
+        return 0.5 * x @ (w[:2] * x)
+
+    T = HORIZON_MPC
+    objective = [
+        lambda x, u, w: 0.5 * x @ (w[:2] * x) + 0.5 * w[2] * (u @ u),
+        *[stage_cost] * (T - 2),
+        final_cost,
+    ]
+    equality = [lambda x, u, w: x - w[3:5], *[None] * (T - 1)]
+    # stage 0: [q1, q2, r, x_meas]; stages 1..T-2: [q1, q2, r]; final: [qT]
+    parameters = (
+        [np.array([1.0, 1.0, 0.1, 0.0, 0.0])]
+        + [np.array([1.0, 1.0, 0.1])] * (T - 2)
+        + [np.array([10.0, 10.0])]
+    )
+    opts = Options(
+        residual_tolerance=1e-8, equality_tolerance=1e-7, complementarity_tolerance=1e-7
+    )
+    return TrajOptSolver(
+        objective,
+        [dyn] * (T - 1),
+        [2] * T,
+        [1] * (T - 1),
+        equality=equality,
+        parameters=parameters,
+        options=opts,
+    )
+
+
+def _theta_builder(weights, state):
+    # weights = [q1, q2, r]; terminal weights fixed
+    T = HORIZON_MPC
+    return jnp.concatenate(
+        [weights, state] + [weights] * (T - 2) + [jnp.array([10.0, 10.0])]
+    )
+
+
+def _policy():
+    ts = _mpc_solver()
+    return ts, autotuning.make_mpc_policy(
+        ts,
+        guess=np.zeros(ts.num_variables),
+        theta_builder=_theta_builder,
+        action_indices=ts._action_indices[0],
+        num_weights=3,
+    )
+
+
+def test_gradient_matches_finite_difference():
+    ts, pol = _policy()
+    sim = lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) * u[0]
+    loss = autotuning.rollout_loss(
+        pol.policy,
+        sim,
+        horizon=8,
+        state_cost=np.eye(2),
+        action_cost=0.01 * np.eye(1),
+        state_reference=np.zeros(2),
+        action_reference=np.zeros(1),
+    )
+    w0 = jnp.array([1.0, 1.0, 0.1])
+    x0 = jnp.array([1.0, 0.0])
+    g = jax.grad(loss)(w0, x0)
+    # finite differences through full rollouts
+    eps = 1e-5
+    for i in range(3):
+        wp = w0.at[i].add(eps)
+        wm = w0.at[i].add(-eps)
+        fd = (loss(wp, x0) - loss(wm, x0)) / (2 * eps)
+        assert abs(float(g[i]) - float(fd)) < 5e-3 * max(1.0, abs(float(fd))), (
+            i,
+            float(g[i]),
+            float(fd),
+        )
+
+
+def test_autotune_reduces_loss():
+    ts, pol = _policy()
+    sim = lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) * u[0]
+    loss = autotuning.rollout_loss(
+        pol.policy,
+        sim,
+        horizon=8,
+        state_cost=np.eye(2),
+        action_cost=0.01 * np.eye(1),
+        state_reference=np.zeros(2),
+        action_reference=np.zeros(1),
+    )
+    w0 = jnp.array([1.0, 1.0, 1.0])
+    x0 = jnp.array([1.0, 0.0])
+    w_tuned, history = autotuning.autotune(loss, w0, x0, max_iterations=4)
+    assert history[-1] < history[0], history

@@ -1,0 +1,73 @@
+"""Contact-implicit trajopt tests (reference test/examples/
+{ball_in_cup,hopper_gait}.jl): impact complementarity, SOC friction
+cones, joint limits, gait periodicity. The hopper uses this repo's own
+analytic planar model in place of the reference's RoboDojo wrapper."""
+
+import numpy as np
+import pytest
+
+from calipso_tpu import TrajOptSolver, Options
+from calipso_tpu.models import ball_in_cup, hopper
+
+from tests.test_solver_nlp import assert_contract
+
+
+def _build(prob, options=Options()):
+    kw = {
+        k: v
+        for k, v in prob.items()
+        if k not in ("state_guess", "state_initial", "state_goal", "action_guess", "penalty_initial")
+    }
+    ts = TrajOptSolver(options=options, **kw)
+    ts.initialize_states(prob["state_guess"])
+    if "action_guess" in prob:
+        ts.initialize_actions(prob["action_guess"])
+    return ts
+
+
+def test_ball_in_cup():
+    prob = ball_in_cup.problem()
+    ts = _build(prob)
+    rng = np.random.default_rng(0)
+    ts.initialize_actions(
+        [np.concatenate([1e-3 * rng.normal(size=2), 1e-3 * np.ones(1)]) for _ in range(20)]
+    )
+    res = ts.solve()
+    assert_contract(res)
+    states, _ = ts.get_trajectory(res)
+    # ball ends inside the cup window and the string never exceeds length
+    for x in states:
+        d = x[4:6] - x[6:8]
+        assert d @ d <= ball_in_cup.STRING_LENGTH**2 + 1e-3
+
+
+@pytest.mark.slow
+def test_state_triggered_rocket():
+    # reference examples/state_triggered/rocket_landing.jl (T=51 exactly;
+    # the problem is horizon-sensitive)
+    from calipso_tpu.models import rocket
+
+    prob = rocket.state_triggered_problem(horizon=51)
+    ts = _build(prob, options=Options(penalty_initial=prob["penalty_initial"]))
+    res = ts.solve()
+    assert_contract(res)
+    states, _ = ts.get_trajectory(res)
+    # state-trigger: whenever x < a is strictly triggered, altitude >= b
+    for x in states:
+        if -x[0] + (-0.5) > 1e-4:
+            assert x[2] - 3.0 > -1e-4
+
+
+@pytest.mark.slow
+def test_hopper_gait():
+    prob = hopper.gait_problem(horizon=21)
+    ts = _build(prob)
+    res = ts.solve()
+    assert_contract(res)
+    states, actions = ts.get_trajectory(res)
+    # gait travels at least the required distance
+    assert states[-1][0] - states[0][0] >= 0.5 - 1e-4
+    # friction stays in the cone: |beta2| <= beta1
+    for u in actions:
+        assert abs(u[7]) <= u[6] + 1e-6
+        assert abs(u[9]) <= u[8] + 1e-6

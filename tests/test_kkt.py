@@ -114,7 +114,7 @@ def test_condensed_step_equals_dense_solve(setup):
     fact = kkt.factorize(
         layout, Hxx, gx, hx, point.s, point.t, rho, jnp.float64(eps_p), jnp.float64(eps_d)
     )
-    step = kkt.solve_with(layout, fact, res, point.s, point.t, rho, N, ME, MC)
+    step = kkt.solve_with(layout, fact, res, N, ME, MC)
 
     J = dense_full_jacobian(c, point, rho, eps_p, eps_d)
     want = np.linalg.solve(J, np.asarray(res.all))
@@ -175,7 +175,7 @@ def test_soc_condensed_step(setup):
     fact = kkt.factorize(
         layout, Hxx, gx, hx, point.s, point.t, rho, jnp.float64(eps_p), jnp.float64(eps_d)
     )
-    step = kkt.solve_with(layout, fact, res, point.s, point.t, rho, N, 0, mc)
+    step = kkt.solve_with(layout, fact, res, N, 0, mc)
 
     # dense reference with arrow blocks
     def arrow(u):
@@ -211,7 +211,7 @@ def test_soc_condensed_step(setup):
     for _ in range(10):
         mv = kkt.matvec(layout, Hxx, gx, hx, point.s, point.t, rho, eps_p, eps_d, step)
         err = Blocks(*(a - b for a, b in zip(res, mv)))
-        corr = kkt.solve_with(layout, fact, err, point.s, point.t, rho, N, 0, mc)
+        corr = kkt.solve_with(layout, fact, err, N, 0, mc)
         step = Blocks(*(a + b for a, b in zip(step, corr)))
 
     got = np.concatenate(
