@@ -89,6 +89,7 @@ class Solver:
         nonnegative_indices=None,
         second_order_indices=None,
         options: Options = Options(),
+        _fns=None,  # pre-built (structured) problem functions
     ):
         if parameters is not None:
             parameters = jnp.asarray(parameters).reshape(-1)
@@ -96,7 +97,9 @@ class Solver:
         self.parameters = parameters
         npar = int(num_parameters or 0)
 
-        self.fns = ProblemFunctions(objective, equality, cone, num_variables, npar)
+        self.fns = _fns if _fns is not None else ProblemFunctions(
+            objective, equality, cone, num_variables, npar
+        )
         self.layout = ConeLayout(
             self.fns.dims.cone, nonnegative_indices, second_order_indices
         )

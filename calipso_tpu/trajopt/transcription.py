@@ -62,6 +62,7 @@ class Cost:
     """Stage cost C_t(x, u, w) (reference costs.jl:1-103)."""
 
     def __init__(self, fn: Callable):
+        self.raw_fn = fn  # identity key for stage grouping/dedup
         self.fn = _normalize_stage(fn, True)
 
     def __call__(self, x, u, w):
@@ -73,6 +74,7 @@ class Dynamics:
     dynamics.jl:1-141)."""
 
     def __init__(self, fn: Callable):
+        self.raw_fn = fn
         n = _num_positional(fn, 4)
         self.fn = fn if n >= 4 else (lambda y, x, u, w, _f=fn: _f(y, x, u))
 
@@ -84,6 +86,7 @@ class Constraint:
     """Per-stage constraint E_t/H_t(x, u, w) (reference constraints.jl)."""
 
     def __init__(self, fn: Callable):
+        self.raw_fn = fn
         self.fn = _normalize_stage(fn, True)
 
     def __call__(self, x, u, w):
@@ -126,6 +129,7 @@ class TrajOptSolver:
         second_order: Optional[Sequence[Sequence]] = None,
         parameters: Optional[Sequence] = None,
         options: Options = Options(),
+        structured: bool = True,
     ):
         T = len(num_states)
         assert len(num_actions) == T - 1
@@ -253,6 +257,11 @@ class TrajOptSolver:
             soc_idx.append(np.arange(off, off + d))
             off += d
 
+        fns = (
+            self._build_structured(costs, dyns, eqs, nns, socs, len(flat_params))
+            if structured
+            else None
+        )
         self.solver = Solver(
             objective_flat,
             equality_flat,
@@ -263,9 +272,129 @@ class TrajOptSolver:
             nonnegative_indices=nn_idx,
             second_order_indices=soc_idx,
             options=options,
+            _fns=fns,
         )
         self.options = options
         self.dims = self.solver.dims
+
+    def _build_structured(self, costs, dyns, eqs, nns, socs, num_parameters):
+        """Build grouped, vmapped stage evaluators (see
+        calipso_tpu.trajopt.structured)."""
+        import jax
+
+        from calipso_tpu.trajopt.structured import StructuredProblemFunctions
+
+        T = self.horizon
+        nxs, nus = self.num_states, self.num_actions
+
+        xu_cols = []
+        for t in range(T):
+            cols = [self._state_indices[t]]
+            if t < T - 1:
+                cols.append(self._action_indices[t])
+            xu_cols.append(np.concatenate(cols).astype(np.int64))
+        p_cols = [
+            np.arange(self._param_offsets[t], self._param_offsets[t + 1], dtype=np.int64)
+            for t in range(T)
+        ]
+
+        def probe(fn, *shapes):
+            args = [jnp.zeros(s) for s in shapes]
+            return int(np.prod(jax.eval_shape(fn, *args).shape))
+
+        def stage_wrap(c, nx):
+            def fn(zrow, wrow, _c=c, _nx=nx):
+                return _c(zrow[:_nx], zrow[_nx:], wrow)
+
+            return fn
+
+        cost_entries = []
+        for t in range(T):
+            c = costs[t]
+            key = (id(c.raw_fn), nxs[t], nus[t])
+            cost_entries.append((key, stage_wrap(c, nxs[t]), xu_cols[t], p_cols[t]))
+
+        eq_entries = []
+        row = 0
+        for t in range(T - 1):
+            d = dyns[t]
+            nx, nu, nxn = nxs[t], nus[t], nxs[t + 1]
+            rdim = probe(d, (nxn,), (nx,), (nu,), (len(p_cols[t]),))
+            zc = np.concatenate([xu_cols[t], self._state_indices[t + 1]]).astype(np.int64)
+
+            def stage_dyn(zrow, wrow, _d=d, _nx=nx, _nu=nu):
+                return _d(zrow[_nx + _nu :], zrow[:_nx], zrow[_nx : _nx + _nu], wrow)
+
+            key = (id(d.raw_fn), nx, nu, nxn)
+            eq_entries.append((key, stage_dyn, zc, p_cols[t], np.arange(row, row + rdim)))
+            row += rdim
+        for t in range(T):
+            if eqs[t] is None:
+                continue
+            rdim = probe(eqs[t], (nxs[t],), (nus[t],), (len(p_cols[t]),))
+            if rdim == 0:
+                continue
+            key = (id(eqs[t].raw_fn), nxs[t], nus[t])
+            eq_entries.append(
+                (key, stage_wrap(eqs[t], nxs[t]), xu_cols[t], p_cols[t],
+                 np.arange(row, row + rdim))
+            )
+            row += rdim
+        general_rows = None
+        general = None
+        if self._eq_general is not None:
+            rg = int(
+                np.prod(
+                    jax.eval_shape(
+                        lambda z, th: jnp.asarray(self._eq_general(z, th)).reshape(-1),
+                        jnp.zeros(self.num_variables),
+                        jnp.zeros(num_parameters),
+                    ).shape
+                )
+            )
+            general_rows = np.arange(row, row + rg)
+            general = lambda z, th: jnp.asarray(self._eq_general(z, th)).reshape(-1)
+            row += rg
+        num_equality = row
+
+        cone_entries = []
+        row = 0
+        for t in range(T):
+            if nns[t] is None:
+                continue
+            rdim = probe(nns[t], (nxs[t],), (nus[t],), (len(p_cols[t]),))
+            if rdim == 0:
+                continue
+            key = (id(nns[t].raw_fn), nxs[t], nus[t])
+            cone_entries.append(
+                (key, stage_wrap(nns[t], nxs[t]), xu_cols[t], p_cols[t],
+                 np.arange(row, row + rdim))
+            )
+            row += rdim
+        for t in range(T):
+            for c in socs[t]:
+                rdim = probe(c, (nxs[t],), (nus[t],), (len(p_cols[t]),))
+                if rdim == 0:
+                    continue
+                key = (id(c.raw_fn), nxs[t], nus[t])
+                cone_entries.append(
+                    (key, stage_wrap(c, nxs[t]), xu_cols[t], p_cols[t],
+                     np.arange(row, row + rdim))
+                )
+                row += rdim
+        num_cone = row
+
+        return StructuredProblemFunctions(
+            self.num_variables,
+            num_parameters,
+            cost_entries,
+            eq_entries,
+            cone_entries,
+            num_equality,
+            num_cone,
+            general_equality=general,
+            general_rows=general_rows,
+        )
 
     # ---- trajectory accessors (reference solver.jl:96-127) ------------------
 
