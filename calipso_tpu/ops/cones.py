@@ -191,6 +191,18 @@ def arrow_matrices(layout: ConeLayout, u):
     return A
 
 
+def dense_arrow(layout: ConeLayout, u):
+    """Block-diagonal (m_c, m_c) matrix of per-cone arrow(u) blocks."""
+    mc = layout.num_cone
+    if mc == 0:
+        return jnp.zeros((0, 0), u.dtype)
+    A = arrow_matrices(layout, u)
+    idx = jnp.asarray(layout.idx)
+    big = jnp.zeros((mc + 1, mc + 1), u.dtype)
+    big = big.at[idx[:, :, None], idx[:, None, :]].add(A)
+    return big[:mc, :mc]
+
+
 def c_block_solve(layout: ConeLayout, s, t, eps_p, eps_d, b):
     """Solve (eps_d*I + M^{-1} Cv) x = b per cone, where Cv = arrow(v),
     v = s - eps_d*e, M = arrow(w), w = t + eps_p*v. Multiplying by M:

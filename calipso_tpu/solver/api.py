@@ -43,10 +43,10 @@ class SolveResult(NamedTuple):
         return self.state.total_i
 
 
-def solve_fn(fns: ProblemFunctions, layout: ConeLayout, opts: Options):
+def solve_fn(fns: ProblemFunctions, layout: ConeLayout, opts: Options, callbacks=None):
     """Functional solve closure: (x0, theta, warm) -> SolveResult.
     Pure and shape-static: compose with jax.jit / vmap / shard_map."""
-    core = make_solve(fns, layout, opts)
+    core = make_solve(fns, layout, opts, callbacks)
 
     def run(x0, theta=None, warm=None) -> SolveResult:
         x0 = jnp.asarray(x0)
@@ -105,9 +105,17 @@ class Solver:
         )
         self.options = options
         self.dims = self.fns.dims
+        self._callbacks = None
         self._run = jax.jit(solve_fn(self.fns, self.layout, options))
         self._guess = None
         self._warm = None
+
+    def callbacks(self, inner=None, outer=None):
+        """Install host-side per-step / per-outer-iteration callbacks
+        (reference callback_inner/outer)."""
+        self._callbacks = (inner, outer)
+        self._run = jax.jit(solve_fn(self.fns, self.layout, self.options, self._callbacks))
+        return self
 
     def initialize(self, x0):
         """Set the primal initial guess (reference initialize.jl:9-14)."""

@@ -43,6 +43,24 @@ def solution_sensitivity(fns, layout, opts, state, theta):
     Hxx = fns.lagrangian_hessian_xx(x, theta, y, z, opts.constraint_tensor)
     gx = fns.gx(x, theta)
     hx = fns.hx(x, theta)
+    if method == "lu":
+        rxt = fns.fxt(x, theta)
+        if me > 0:
+            rxt = rxt + fns.gty_xt(x, theta, y)
+        if mc > 0:
+            rxt = rxt + fns.htz_xt(x, theta, z)
+        J = kkt.full_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
+        Jt = jnp.concatenate(
+            [
+                rxt,
+                jnp.zeros((me + mc, npar), x.dtype),
+                fns.gt(x, theta),
+                fns.ht(x, theta),
+                jnp.zeros((mc, npar), x.dtype),
+            ],
+            axis=0,
+        )
+        return -jnp.linalg.solve(J, Jt)
     fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method)
 
     # dR/dtheta blocks

@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from calipso_tpu.ops import cones
 from calipso_tpu.ops.ldl import ldl_factor, ldl_solve, inertia_counts
@@ -133,6 +134,43 @@ def matvec(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, d: Blocks) -> Blocks:
     oz = hx @ d.x - d.s - eps_d * d.z
     ot = cones.product(layout, t, d.s) + cones.product(layout, v, d.t)
     return Blocks(ox, orr, os, oy, oz, ot)
+
+
+def full_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
+    """Dense regularized 6-block KKT matrix (reference
+    residual_jacobian_variables.jl:1-108). Used by the "lu" backend -- the
+    reference's :LU / ILU0 non-symmetric path (search_direction.jl:106-119)
+    for problems where the condensed symmetric path struggles."""
+    n = Hxx.shape[0]
+    me, mc = gx.shape[0], hx.shape[0]
+    dt = Hxx.dtype
+    Ieq = jnp.eye(me, dtype=dt)
+    Ic = jnp.eye(mc, dtype=dt)
+    Cs = cones.dense_arrow(layout, t)
+    Ct = cones.dense_arrow(layout, s) - eps_d * Ic
+    Z = lambda a, b: jnp.zeros((a, b), dt)
+    rows = [
+        [Hxx + eps_p * jnp.eye(n, dtype=dt), Z(n, me), Z(n, mc), gx.T, hx.T, Z(n, mc)],
+        [Z(me, n), (rho + eps_p) * Ieq, Z(me, mc), -Ieq, Z(me, mc), Z(me, mc)],
+        [Z(mc, n), Z(mc, me), eps_p * Ic, Z(mc, me), -Ic, -Ic],
+        [gx, -Ieq, Z(me, mc), -eps_d * Ieq, Z(me, mc), Z(me, mc)],
+        [hx, Z(mc, me), -Ic, Z(mc, me), -eps_d * Ic, Z(mc, mc)],
+        [Z(mc, n), Z(mc, me), Cs, Z(mc, me), Z(mc, mc), Ct],
+    ]
+    return jnp.concatenate([jnp.concatenate(r, axis=1) for r in rows], axis=0)
+
+
+def lu_solve_full(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, res: Blocks) -> Blocks:
+    """Solve the full 6-block system with dense LU."""
+    n = Hxx.shape[0]
+    me, mc = gx.shape[0], hx.shape[0]
+    J = full_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
+    rhs = res.all
+    vec = rhs.ndim == 1
+    sol = jnp.linalg.solve(J, rhs if not vec else rhs[:, None])
+    sol = sol[:, 0] if vec else sol
+    o = np.cumsum([0, n, me, mc, me, mc, mc])
+    return Blocks(*(sol[o[i] : o[i + 1]] for i in range(6)))
 
 
 class Factorization(NamedTuple):

@@ -104,9 +104,13 @@ def sufficient_progress(v, v_cand, m, m_cand, v_tol, m_tol, mach_tol):
 # ---- solver construction ----------------------------------------------------
 
 
-def make_solve(fns, layout, opts):
+def make_solve(fns, layout, opts, callbacks=None):
     """Build the jittable solve(x0, theta[, warm]) closure for a fixed
-    problem (fns/layout/opts are trace-time static)."""
+    problem (fns/layout/opts are trace-time static). callbacks is an
+    optional (inner, outer) pair of host functions receiving a diagnostics
+    dict after each accepted step / outer update (reference
+    callback_inner/outer, solver.jl:183-193)."""
+    cb_inner, cb_outer = callbacks if callbacks is not None else (None, None)
     dims = fns.dims
     n, me, mc, npar = dims.variables, dims.equality, dims.cone, dims.parameters
     ns, ntot = dims.symmetric, dims.total
@@ -168,7 +172,10 @@ def make_solve(fns, layout, opts):
         e_p0 = jnp.asarray(opts.primal_regularization_initial, dtype)
         e_d0 = jnp.asarray(opts.dual_regularization_initial, dtype)
 
-        method = opts.linear_solver
+        # the 'lu' backend computes steps on the full system but runs the
+        # inertia ladder on the condensed Schur factorization (the
+        # reference likewise keeps QDLDL for inertia under :LU)
+        method = "schur" if opts.linear_solver == "lu" else opts.linear_solver
         fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method)
         ok0 = kkt.inertia_ok(fact0, n, me, mc, method)
 
@@ -287,9 +294,15 @@ def make_solve(fns, layout, opts):
         )
 
         # search direction + refinement
-        step = kkt.solve_with(layout, fact, res, n, me, mc, opts.linear_solver)
-        if opts.iterative_refinement:
-            step = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
+        if opts.linear_solver == "lu":
+            # exact full-system solve; refinement unnecessary
+            step = kkt.lu_solve_full(
+                layout, Hxx, gx, hx, s, t, st.rho, fact.eps_p, fact.eps_d, res
+            )
+        else:
+            step = kkt.solve_with(layout, fact, res, n, me, mc, opts.linear_solver)
+            if opts.iterative_refinement:
+                step = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
 
         # merit and its directional derivative (reference merit.jl:2-31)
         barrier_val = cones.barrier(layout, s)
@@ -375,6 +388,14 @@ def make_solve(fns, layout, opts):
             t - alpha_t * step.t,
         )
 
+        if cb_inner is not None:
+            jax.debug.callback(
+                cb_inner,
+                dict(
+                    inner=st.inner_i, outer=st.outer_i, total=st.total_i,
+                    step_size=alpha, merit=merit, violation=cv,
+                ),
+            )
         return st._replace(
             p=p_new,
             eps_p_last=eps_p_last,
@@ -465,6 +486,14 @@ def make_solve(fns, layout, opts):
         )
         filt_n = jnp.full_like(st.filt, BIG)
 
+        if cb_outer is not None:
+            jax.debug.callback(
+                cb_outer,
+                dict(
+                    outer=st.outer_i, kappa=kappa_n, rho=rho_n,
+                    solved=st.solved, active=active,
+                ),
+            )
         return st._replace(
             kappa=jnp.where(active, kappa_n, st.kappa),
             tau=jnp.where(active, tau_n, st.tau),
