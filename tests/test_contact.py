@@ -42,6 +42,53 @@ def test_ball_in_cup():
 
 
 @pytest.mark.slow
+def test_box_move():
+    # reference test/examples/box_move.jl (own analytic planar box)
+    from calipso_tpu.models import box
+
+    prob = box.move_problem(horizon=11)
+    ts = _build(prob)
+    res = ts.solve()
+    assert_contract(res)
+    states, _ = ts.get_trajectory(res)
+    np.testing.assert_allclose(states[-1][:6], np.asarray(prob["state_goal"]), atol=1e-3)
+    # box never penetrates the ground
+    for x in states[1:]:
+        assert np.min(np.asarray(box.signed_distance(x[3:6]))) > -1e-4
+
+
+@pytest.mark.slow
+def test_cyberdrift():
+    # reference test/examples/cyberdrift.jl; the problem is schedule-
+    # sensitive (the reference notes "may need to run more than once") --
+    # pinned to a converging configuration
+    from calipso_tpu.models import cyberdrift
+    from calipso_tpu import Options as Opts
+
+    prob = cyberdrift.drift_problem()
+    opts = Opts(
+        residual_tolerance=1e-3,
+        optimality_tolerance=1e-3,
+        equality_tolerance=1e-3,
+        complementarity_tolerance=1e-3,
+        slack_tolerance=1e-3,
+        penalty_initial=10.0,
+    )
+    ts = _build(prob, options=opts)
+    rng = np.random.default_rng(1)
+    ts.initialize_actions(
+        [
+            np.concatenate([1e-3 * rng.normal(size=2), np.tile([1.0, 0.1, 0.1], 4)])
+            for _ in range(14)
+        ]
+    )
+    res = ts.solve()
+    assert_contract(res, opts)
+    states, _ = ts.get_trajectory(res)
+    np.testing.assert_allclose(states[-1][0:3], np.asarray(prob["state_goal"][0:3]), atol=1e-2)
+
+
+@pytest.mark.slow
 def test_state_triggered_rocket():
     # reference examples/state_triggered/rocket_landing.jl (T=51 exactly;
     # the problem is horizon-sensitive)
