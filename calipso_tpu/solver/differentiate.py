@@ -61,7 +61,8 @@ def solution_sensitivity(fns, layout, opts, state, theta):
             axis=0,
         )
         return -jnp.linalg.solve(J, Jt)
-    fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method)
+    structure = getattr(fns, "stage_structure", None)
+    fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method, structure)
 
     # dR/dtheta blocks
     rxt = fns.fxt(x, theta)
@@ -75,7 +76,7 @@ def solution_sensitivity(fns, layout, opts, state, theta):
     # condensed RHS per column: slack rows are zero, so the corrections
     # vanish and the symmetric RHS is just [rxt; gt; ht]
     rhs = jnp.concatenate([rxt, gt, ht], axis=0)  # (ns, p)
-    d_sym = kkt.solve_sym(layout, fact, rhs, n, me, mc, method)  # batched solves
+    d_sym = kkt.solve_sym(layout, fact, rhs, n, me, mc, method, structure)  # batched solves
 
     dx = d_sym[:n]
     dy = d_sym[n : n + me]

@@ -187,8 +187,9 @@ class Factorization(NamedTuple):
                (inertia(K) = inertia(-C) + inertia(S), C always PD).
     """
 
-    L: jnp.ndarray  # ldl: unit-lower factor; schur: Cholesky factor of S
-    d: jnp.ndarray  # ldl: pivots of D; schur: empty
+    L: jnp.ndarray  # ldl: unit-lower; schur: chol(S); riccati: (T,d,d) chols
+    d: jnp.ndarray  # ldl: pivots of D; otherwise empty
+    M: jnp.ndarray  # riccati: (T-1,d,d) coupling factors; otherwise empty
     gx: jnp.ndarray
     hx: jnp.ndarray
     s: jnp.ndarray
@@ -203,16 +204,26 @@ def _ceq(fact):
     return 1.0 / (fact.rho + fact.eps_p) + fact.eps_d
 
 
-def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl"):
+def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl", structure=None):
     rho = jnp.asarray(rho, Hxx.dtype)
+    dt = Hxx.dtype
+    e0 = jnp.zeros((0,), dt)
+    e3 = jnp.zeros((0, 0, 0), dt)
     if method == "ldl":
         K = condensed_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
         L, dvec = ldl_factor(K)
-        return Factorization(L, dvec, gx, hx, s, t, rho, eps_p, eps_d)
+        return Factorization(L, dvec, e3, gx, hx, s, t, rho, eps_p, eps_d)
+    if method == "riccati":
+        assert structure is not None, "riccati backend needs trajopt stage structure"
+        D, O = _riccati_blocks(layout, structure, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
+        from calipso_tpu.ops import riccati as rc
+
+        L, M = rc.factor(D, O)
+        return Factorization(L, e0, M, gx, hx, s, t, rho, eps_p, eps_d)
     assert method == "schur", method
     n = Hxx.shape[0]
     ceq = 1.0 / (rho + eps_p) + eps_d
-    S = Hxx + eps_p * jnp.eye(n, dtype=Hxx.dtype)
+    S = Hxx + eps_p * jnp.eye(n, dtype=dt)
     if gx.shape[0] > 0:
         S = S + gx.T @ (gx / ceq)
     if hx.shape[0] > 0:
@@ -220,13 +231,89 @@ def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl"):
         S = S + hx.T @ Cinv_hx
     S = 0.5 * (S + S.T)
     L = jnp.linalg.cholesky(S)
-    return Factorization(L, jnp.zeros((0,), Hxx.dtype), gx, hx, s, t, rho, eps_p, eps_d)
+    return Factorization(L, e0, e3, gx, hx, s, t, rho, eps_p, eps_d)
+
+
+def _riccati_blocks(layout, st, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
+    """Assemble the stage-block tridiagonal form of the primal Schur
+    complement S (see Factorization doc) with batched gathers + einsums:
+    spans of equal shape are stacked and processed in one vectorized op, so
+    tracing is O(#span groups), not O(T). Padded index slots read zero and
+    the padded diagonal is restored to identity so ragged stages decouple
+    exactly. O(T d^2 r) work; no O(n^2 m) matmuls, no dense S."""
+    dt = Hxx.dtype
+    T, dmax = st.horizon, st.dmax
+    n = st.num_variables
+    ceq = 1.0 / (rho + eps_p) + eps_d
+    Chx = (
+        cones.c_block_solve(layout, s, t, eps_p, eps_d, hx)
+        if hx.shape[0] > 0
+        else hx
+    )
+
+    blk = jnp.asarray(st.blk_idx)  # (T, dmax), sentinel n on padding
+    Hp = jnp.pad(Hxx, ((0, 1), (0, 1)))
+    D = Hp[blk[:, :, None], blk[:, None, :]]  # (T, dmax, dmax)
+    # padded diagonal -> 1, real diagonal += eps_p
+    pad_mask = jnp.asarray(st.blk_idx == n)  # (T, dmax)
+    diag_add = jnp.where(pad_mask, 1.0, eps_p)
+    D = D + jax.vmap(jnp.diag)(diag_add.astype(dt))
+    O = (
+        Hp[blk[1:, :, None], blk[:-1, None, :]]
+        if T > 1
+        else jnp.zeros((0, dmax, dmax), dt)
+    )
+
+    def grouped(spans, key_fn):
+        table = {}
+        for sp in spans:
+            table.setdefault(key_fn(sp), []).append(sp)
+        return table.values()
+
+    gxp = jnp.pad(gx, ((0, 0), (0, 1))) if gx.shape[0] else gx
+    for group in grouped(
+        st.eq_spans, lambda sp: (sp.num_rows, sp.two_stage, st.col_dims[sp.stage], sp.next_width)
+    ):
+        r = group[0].num_rows
+        rows = jnp.asarray(
+            np.stack([np.arange(sp.row_start, sp.row_start + sp.num_rows) for sp in group])
+        )  # (G, r)
+        t_idx = jnp.asarray(np.array([sp.stage for sp in group]))
+        cols1 = blk[t_idx]  # (G, dmax)
+        J1 = gxp[rows[:, :, None], cols1[:, None, :]]  # (G, r, dmax)
+        D = D.at[t_idx].add(jnp.einsum("grw,grv->gwv", J1, J1) / ceq)
+        if group[0].two_stage:
+            cols2 = blk[t_idx + 1]
+            J2 = gxp[rows[:, :, None], cols2[:, None, :]]
+            D = D.at[t_idx + 1].add(jnp.einsum("grw,grv->gwv", J2, J2) / ceq)
+            O = O.at[t_idx].add(jnp.einsum("grw,grv->gwv", J2, J1) / ceq)
+
+    if hx.shape[0]:
+        hxp = jnp.pad(hx, ((0, 0), (0, 1)))
+        Chxp = jnp.pad(Chx, ((0, 0), (0, 1)))
+        for group in grouped(
+            st.cone_spans, lambda sp: (sp.num_rows, st.col_dims[sp.stage])
+        ):
+            rows = jnp.asarray(
+                np.stack(
+                    [np.arange(sp.row_start, sp.row_start + sp.num_rows) for sp in group]
+                )
+            )
+            t_idx = jnp.asarray(np.array([sp.stage for sp in group]))
+            cols = blk[t_idx]
+            J = hxp[rows[:, :, None], cols[:, None, :]]
+            Jc = Chxp[rows[:, :, None], cols[:, None, :]]
+            b = jnp.einsum("grw,grv->gwv", J, Jc)
+            D = D.at[t_idx].add(0.5 * (b + jnp.swapaxes(b, 1, 2)))
+
+    return D, O
 
 
 def inertia_ok(fact: Factorization, n, me, mc, method="ldl"):
     """Target inertia (n positive, m_e+m_c negative, 0 zero) -- reference
-    inertia.jl:7-11. The schur backend reads it off Cholesky success."""
-    if method == "schur":
+    inertia.jl:7-11. The schur/riccati backends read it off Cholesky
+    success."""
+    if method in ("schur", "riccati"):
         return jnp.all(jnp.isfinite(fact.L))
     pos, neg, zero = inertia_counts(fact.d)
     return (pos == n) & (neg == me + mc) & (zero == 0)
@@ -241,7 +328,7 @@ def num_zero_eigs(fact: Factorization, method="ldl"):
     return zero.astype(jnp.int32)
 
 
-def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl"):
+def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structure=None):
     """Solve the condensed symmetric system for rhs of shape (ns,) or
     (ns, k)."""
     if method == "ldl":
@@ -258,11 +345,21 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl"):
         t3 = cones.c_block_solve(layout, fact.s, fact.t, fact.eps_p, fact.eps_d, rcone)
         rhs_x = rhs_x + fact.hx.T @ t3
     vec = rhs_x.ndim == 1
-    b = rhs_x[:, None] if vec else rhs_x
-    y = jax.scipy.linalg.solve_triangular(fact.L, b, lower=True)
-    dx = jax.scipy.linalg.solve_triangular(fact.L, y, lower=True, trans="T")
-    if vec:
-        dx = dx[:, 0]
+    if method == "riccati":
+        from calipso_tpu.ops import riccati as rc
+
+        if vec:
+            dx = structure.from_blocks(rc.solve(fact.L, fact.M, structure.to_blocks(rhs_x)))
+        else:
+            B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
+            X = rc.solve_multi(fact.L, fact.M, B)
+            dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
+    else:
+        b = rhs_x[:, None] if vec else rhs_x
+        y = jax.scipy.linalg.solve_triangular(fact.L, b, lower=True)
+        dx = jax.scipy.linalg.solve_triangular(fact.L, y, lower=True, trans="T")
+        if vec:
+            dx = dx[:, 0]
     dy = (fact.gx @ dx - req) / ceq if me > 0 else req
     if mc > 0:
         dz = cones.c_block_solve(
@@ -273,10 +370,10 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl"):
     return jnp.concatenate([dx, dy, dz], axis=0)
 
 
-def solve_with(layout, fact: Factorization, res: Blocks, n, me, mc, method="ldl") -> Blocks:
+def solve_with(layout, fact: Factorization, res: Blocks, n, me, mc, method="ldl", structure=None) -> Blocks:
     """Condense -> factorized solve -> expand, for an arbitrary 6-block
     RHS."""
     s, t, rho = fact.s, fact.t, fact.rho
     rhs = condensed_rhs(layout, res, s, t, rho, fact.eps_p, fact.eps_d)
-    d_sym = solve_sym(layout, fact, rhs, n, me, mc, method)
+    d_sym = solve_sym(layout, fact, rhs, n, me, mc, method, structure)
     return expand(layout, res, d_sym, n, me, mc, s, t, rho, fact.eps_p, fact.eps_d)

@@ -114,6 +114,12 @@ def make_solve(fns, layout, opts, callbacks=None):
     dims = fns.dims
     n, me, mc, npar = dims.variables, dims.equality, dims.cone, dims.parameters
     ns, ntot = dims.symmetric, dims.total
+    structure = getattr(fns, "stage_structure", None)
+    if opts.linear_solver == "riccati":
+        if structure is None:
+            raise ValueError("linear_solver='riccati' requires a trajopt problem (stage structure)")
+        if structure.has_general:
+            raise ValueError("linear_solver='riccati' does not support equality_general (dense coupling); use 'schur'")
 
     def merit_value(f, r, barrier_val, kappa, lam, rho):
         """AL + barrier merit M = f + lam'r + rho/2 |r|^2 - kappa*Phi
@@ -176,7 +182,7 @@ def make_solve(fns, layout, opts, callbacks=None):
         # inertia ladder on the condensed Schur factorization (the
         # reference likewise keeps QDLDL for inertia under :LU)
         method = "schur" if opts.linear_solver == "lu" else opts.linear_solver
-        fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method)
+        fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method, structure)
         ok0 = kkt.inertia_ok(fact0, n, me, mc, method)
 
         # IC-2: rank-deficiency -> dual regularization scaled by kappa
@@ -204,7 +210,7 @@ def make_solve(fns, layout, opts, callbacks=None):
 
         def body(c):
             _, e_p, _, _ = c
-            fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p, e_d1, method)
+            fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p, e_d1, method, structure)
             ok = kkt.inertia_ok(fact, n, me, mc, method)
             e_p_next = jnp.where(ok, e_p, e_p * scale)  # IC-5
             failed = (~ok) & (e_p_next > max_reg)  # IC-6
@@ -235,7 +241,7 @@ def make_solve(fns, layout, opts, callbacks=None):
             done_now = (en <= opts.iterative_refinement_tolerance) & (
                 i >= opts.min_iterative_refinement
             )
-            corr = kkt.solve_with(layout, fact, err, n, me, mc, opts.linear_solver)
+            corr = kkt.solve_with(layout, fact, err, n, me, mc, opts.linear_solver, structure)
             stp2 = Blocks(*(jnp.where(done_now, a, a + b) for a, b in zip(stp, corr)))
             err2 = err_of(stp2)
             en2 = jnp.where(done_now, en, inf_norm(err2.all))
@@ -300,7 +306,7 @@ def make_solve(fns, layout, opts, callbacks=None):
                 layout, Hxx, gx, hx, s, t, st.rho, fact.eps_p, fact.eps_d, res
             )
         else:
-            step = kkt.solve_with(layout, fact, res, n, me, mc, opts.linear_solver)
+            step = kkt.solve_with(layout, fact, res, n, me, mc, opts.linear_solver, structure)
             if opts.iterative_refinement:
                 step = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
 

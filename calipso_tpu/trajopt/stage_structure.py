@@ -1,0 +1,66 @@
+"""Static stage-structure metadata for the block-tridiagonal (Riccati) KKT
+backend: per-stage column blocks of the interleaved [x1,u1,...,xT] layout
+and row spans of the constraint blocks, with gather/scatter index tables
+between flat vectors and padded (T, d_max) block form."""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class EqSpan(NamedTuple):
+    row_start: int
+    num_rows: int
+    stage: int
+    two_stage: bool  # dynamics rows couple stages (stage, stage+1)
+    next_width: int  # nx_{t+1} for two-stage spans
+
+
+class ConeSpan(NamedTuple):
+    row_start: int
+    num_rows: int
+    stage: int
+
+
+class StageStructure:
+    def __init__(
+        self,
+        col_starts: List[int],
+        col_dims: List[int],
+        eq_spans: List[EqSpan],
+        cone_spans: List[ConeSpan],
+        has_general: bool,
+    ):
+        self.col_starts = col_starts
+        self.col_dims = col_dims
+        self.eq_spans = eq_spans
+        self.cone_spans = cone_spans
+        self.has_general = has_general
+        self.horizon = len(col_dims)
+        self.dmax = max(col_dims)
+        n = col_starts[-1] + col_dims[-1]
+        self.num_variables = n
+
+        T, dmax = self.horizon, self.dmax
+        blk_idx = np.full((T, dmax), n, dtype=np.int64)  # sentinel -> 0 pad
+        inv_t = np.zeros(n, dtype=np.int64)
+        inv_o = np.zeros(n, dtype=np.int64)
+        for t, (cs, d) in enumerate(zip(col_starts, col_dims)):
+            blk_idx[t, :d] = np.arange(cs, cs + d)
+            inv_t[cs : cs + d] = t
+            inv_o[cs : cs + d] = np.arange(d)
+        self.blk_idx = blk_idx
+        self.inv_t = inv_t
+        self.inv_o = inv_o
+
+    def to_blocks(self, v):
+        """(n,) flat -> (T, dmax) padded with zeros."""
+        vpad = jnp.concatenate([v, jnp.zeros((1,), v.dtype)])
+        return vpad[self.blk_idx]
+
+    def from_blocks(self, V):
+        """(T, dmax) -> (n,) flat."""
+        return V[self.inv_t, self.inv_o]

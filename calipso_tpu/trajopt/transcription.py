@@ -314,6 +314,9 @@ class TrajOptSolver:
             key = (id(c.raw_fn), nxs[t], nus[t])
             cost_entries.append((key, stage_wrap(c, nxs[t]), xu_cols[t], p_cols[t]))
 
+        from calipso_tpu.trajopt.stage_structure import StageStructure, EqSpan, ConeSpan
+
+        eq_spans, cone_spans = [], []
         eq_entries = []
         row = 0
         for t in range(T - 1):
@@ -327,6 +330,7 @@ class TrajOptSolver:
 
             key = (id(d.raw_fn), nx, nu, nxn)
             eq_entries.append((key, stage_dyn, zc, p_cols[t], np.arange(row, row + rdim)))
+            eq_spans.append(EqSpan(row, rdim, t, True, nxn))
             row += rdim
         for t in range(T):
             if eqs[t] is None:
@@ -339,6 +343,7 @@ class TrajOptSolver:
                 (key, stage_wrap(eqs[t], nxs[t]), xu_cols[t], p_cols[t],
                  np.arange(row, row + rdim))
             )
+            eq_spans.append(EqSpan(row, rdim, t, False, 0))
             row += rdim
         general_rows = None
         general = None
@@ -370,6 +375,7 @@ class TrajOptSolver:
                 (key, stage_wrap(nns[t], nxs[t]), xu_cols[t], p_cols[t],
                  np.arange(row, row + rdim))
             )
+            cone_spans.append(ConeSpan(row, rdim, t))
             row += rdim
         for t in range(T):
             for c in socs[t]:
@@ -381,10 +387,11 @@ class TrajOptSolver:
                     (key, stage_wrap(c, nxs[t]), xu_cols[t], p_cols[t],
                      np.arange(row, row + rdim))
                 )
+                cone_spans.append(ConeSpan(row, rdim, t))
                 row += rdim
         num_cone = row
 
-        return StructuredProblemFunctions(
+        fns = StructuredProblemFunctions(
             self.num_variables,
             num_parameters,
             cost_entries,
@@ -395,6 +402,14 @@ class TrajOptSolver:
             general_equality=general,
             general_rows=general_rows,
         )
+        fns.stage_structure = StageStructure(
+            [int(self._state_indices[t][0]) for t in range(T)],
+            [nxs[t] + nus[t] for t in range(T)],
+            eq_spans,
+            cone_spans,
+            general is not None,
+        )
+        return fns
 
     # ---- trajectory accessors (reference solver.jl:96-127) ------------------
 
