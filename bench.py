@@ -83,6 +83,55 @@ def build():
     return jax.jit(solve_batch)
 
 
+def bench_rocket101():
+    """Single rocket SOC landing T=101 (the reference's full-size trajopt,
+    903 vars + 100 SOCs) on the Riccati backend, f32."""
+    from calipso_tpu import TrajOptSolver, Options
+    from calipso_tpu.models import rocket
+
+    prob = rocket.landing_problem(horizon=101)
+    kw = {
+        k: v
+        for k, v in prob.items()
+        if k not in ("state_guess", "state_initial", "state_goal")
+    }
+    opts = Options(
+        residual_tolerance=1e-3,
+        optimality_tolerance=1e-3,
+        slack_tolerance=1e-3,
+        equality_tolerance=1e-3,
+        complementarity_tolerance=1e-3,
+        iterative_refinement_tolerance=1e-6,
+    )
+    ts = TrajOptSolver(options=opts, **kw)
+    guess = np.zeros(ts.num_variables, dtype=np.float32)
+    for t, idx in enumerate(ts._state_indices):
+        guess[idx] = np.asarray(prob["state_guess"][t])
+    rng = np.random.default_rng(0)
+    for t, idx in enumerate(ts._action_indices):
+        guess[idx] = 1e-3 * rng.normal(size=3)
+    ts.initialize_states([guess[i] for i in ts._state_indices])
+    ts.solver.initialize(jnp.asarray(guess, jnp.float32))
+
+    t0 = time.time()
+    r = ts.solve()
+    jax.block_until_ready(r.state.p.x)
+    compile_s = time.time() - t0
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        r = ts.solve()
+        jax.block_until_ready(r.state.p.x)
+    dt = (time.time() - t0) / reps
+    return {
+        "rocket101_solved": bool(r.solved),
+        "rocket101_iterations": int(r.iterations),
+        "rocket101_solve_s": round(dt, 3),
+        "rocket101_compile_s": round(compile_s, 1),
+        "rocket101_backend": ts.solver.options.linear_solver,
+    }
+
+
 def main():
     solve_batch = build()
     rng = np.random.default_rng(0)
@@ -106,6 +155,19 @@ def main():
     dt = (time.time() - t0) / reps
 
     solves_per_s = BATCH / dt
+    extra = {
+        "solved": n_solved,
+        "batch": BATCH,
+        "total_inner_iterations": iters,
+        "kkt_factorizations_per_s_lower_bound": round(iters / dt, 1),
+        "compile_s": round(compile_s, 1),
+        "per_batch_wall_s": round(dt, 3),
+    }
+    try:
+        extra.update(bench_rocket101())
+    except Exception as e:  # keep the primary metric robust
+        extra["rocket101_error"] = repr(e)[:200]
+
     print(
         json.dumps(
             {
@@ -114,13 +176,7 @@ def main():
                 "value": round(solves_per_s, 3),
                 "unit": "solves/s",
                 "vs_baseline": round(solves_per_s / NOMINAL_SOLVES_PER_S, 3),
-                "extra": {
-                    "solved": n_solved,
-                    "batch": BATCH,
-                    "total_inner_iterations": iters,
-                    "compile_s": round(compile_s, 1),
-                    "per_batch_wall_s": round(dt, 3),
-                },
+                "extra": extra,
             }
         )
     )

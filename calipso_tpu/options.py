@@ -71,13 +71,18 @@ class Options:
     # (reference options.jl:41)
     constraint_tensor: bool = True
 
-    # linear-solver backend: "schur" (primal Schur-complement Cholesky;
-    # inertia from factorization success -- the MXU-friendly fast path,
-    # ~70x faster than ldl on a T=61 rocket trajopt at identical iteration
-    # counts) or "ldl" (dense unpivoted LDL^T on the condensed
-    # quasidefinite system, exact inertia from sign(D) -- the reference's
-    # QDLDL analogue, exact IC-2 rank-deficiency detection)
-    linear_solver: str = "schur"
+    # linear-solver backend:
+    #   "auto"    -> "riccati" for trajopt problems without general
+    #                equality constraints, else "schur"
+    #   "riccati" -> block-tridiagonal Cholesky over stage blocks
+    #                (lax.scan Riccati sweep; O(T d^3) per factorization)
+    #   "schur"   -> primal Schur-complement dense Cholesky (MXU path,
+    #                ~70x faster than ldl on a T=61 rocket)
+    #   "ldl"     -> dense unpivoted LDL^T of the condensed quasidefinite
+    #                system; exact inertia from sign(D) (QDLDL analogue)
+    #   "lu"      -> dense LU of the full 6-block system (the reference's
+    #                :LU path for hard nonsymmetric cases)
+    linear_solver: str = "auto"
 
     # differentiation (reference options.jl:53)
     differentiate: bool = False

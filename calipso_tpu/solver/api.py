@@ -46,6 +46,13 @@ class SolveResult(NamedTuple):
 def solve_fn(fns: ProblemFunctions, layout: ConeLayout, opts: Options, callbacks=None):
     """Functional solve closure: (x0, theta, warm) -> SolveResult.
     Pure and shape-static: compose with jax.jit / vmap / shard_map."""
+    if opts.linear_solver == "auto":
+        structure = getattr(fns, "stage_structure", None)
+        opts = opts.replace(
+            linear_solver=(
+                "riccati" if structure is not None and not structure.has_general else "schur"
+            )
+        )
     core = make_solve(fns, layout, opts, callbacks)
 
     def run(x0, theta=None, warm=None) -> SolveResult:
@@ -103,6 +110,15 @@ class Solver:
         self.layout = ConeLayout(
             self.fns.dims.cone, nonnegative_indices, second_order_indices
         )
+        if options.linear_solver == "auto":
+            structure = getattr(self.fns, "stage_structure", None)
+            options = options.replace(
+                linear_solver=(
+                    "riccati"
+                    if structure is not None and not structure.has_general
+                    else "schur"
+                )
+            )
         self.options = options
         self.dims = self.fns.dims
         self._callbacks = None

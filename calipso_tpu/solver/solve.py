@@ -115,6 +115,14 @@ def make_solve(fns, layout, opts, callbacks=None):
     n, me, mc, npar = dims.variables, dims.equality, dims.cone, dims.parameters
     ns, ntot = dims.symmetric, dims.total
     structure = getattr(fns, "stage_structure", None)
+    if opts.linear_solver == "auto":
+        opts = opts.replace(
+            linear_solver=(
+                "riccati"
+                if structure is not None and not structure.has_general
+                else "schur"
+            )
+        )
     if opts.linear_solver == "riccati":
         if structure is None:
             raise ValueError("linear_solver='riccati' requires a trajopt problem (stage structure)")

@@ -73,6 +73,7 @@ def test_cyberdrift():
         complementarity_tolerance=1e-3,
         slack_tolerance=1e-3,
         penalty_initial=10.0,
+        linear_solver="schur",  # convergence path pinned with this backend
     )
     ts = _build(prob, options=opts)
     rng = np.random.default_rng(1)
