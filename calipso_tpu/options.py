@@ -95,6 +95,12 @@ class Options:
     # max_residual_iterations + 2 always suffices (reference filter.jl)
     max_filter: int = 102
 
+    # matmul precision for everything traced inside the solve; TPUs
+    # default f32 matmuls to bfloat16 passes, which wrecks the chained
+    # factorizations (riccati sweeps especially) -- "highest" restores
+    # true-f32 accumulation on the MXU
+    matmul_precision: str = "highest"
+
     # host-side verbose printing via jax.debug.callback (off inside vmap)
     verbose: bool = False
 

@@ -31,6 +31,13 @@ def solution_sensitivity(fns, layout, opts, state, theta):
     n, me, mc, npar = dims.variables, dims.equality, dims.cone, dims.parameters
     if npar == 0:
         return jnp.zeros((dims.total, 0))
+    with jax.default_matmul_precision(opts.matmul_precision):
+        return _sensitivity(fns, layout, opts, state, theta)
+
+
+def _sensitivity(fns, layout, opts, state, theta):
+    dims = fns.dims
+    n, me, mc, npar = dims.variables, dims.equality, dims.cone, dims.parameters
 
     p = state.p
     x, s, t, y, z = p.x, p.s, p.t, p.y, p.z

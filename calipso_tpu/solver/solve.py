@@ -567,12 +567,13 @@ def make_solve(fns, layout, opts, callbacks=None):
         theta = (
             jnp.zeros((npar,), x0.dtype) if theta is None else jnp.asarray(theta, x0.dtype)
         )
-        st = init_state(x0, theta, warm)
-        st = lax.while_loop(
-            lambda s: (s.outer_i < opts.max_outer_iterations) & ~(s.solved | s.failed),
-            lambda s: outer_body(s, theta),
-            st,
-        )
+        with jax.default_matmul_precision(opts.matmul_precision):
+            st = init_state(x0, theta, warm)
+            st = lax.while_loop(
+                lambda s: (s.outer_i < opts.max_outer_iterations) & ~(s.solved | s.failed),
+                lambda s: outer_body(s, theta),
+                st,
+            )
         return st
 
     return solve
