@@ -117,7 +117,7 @@ def bench_rocket101():
     r = ts.solve()
     jax.block_until_ready(r.state.p.x)
     compile_s = time.time() - t0
-    reps = 3
+    reps = 2
     t0 = time.time()
     for _ in range(reps):
         r = ts.solve()
@@ -146,7 +146,7 @@ def main():
     n_solved = int(jnp.sum(res.state.solved))
     iters = int(jnp.sum(res.state.total_i))
 
-    reps = 3
+    reps = 2
     t0 = time.time()
     for r in range(reps):
         x0s_r = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
@@ -164,7 +164,8 @@ def main():
         "per_batch_wall_s": round(dt, 3),
     }
     try:
-        extra.update(bench_rocket101())
+        if os.environ.get("BENCH_SKIP_ROCKET", "0") != "1":
+            extra.update(bench_rocket101())
     except Exception as e:  # keep the primary metric robust
         extra["rocket101_error"] = repr(e)[:200]
 
