@@ -1,0 +1,276 @@
+"""Planar quadruped: contact-implicit drop and gait (reference
+test/examples/quadruped_drop.jl / quadruped_gait.jl, which wrap RoboDojo's
+11-DOF planar quadruped; here an analytic JAX model of the same class).
+
+Configuration q (11) = [x, z, pitch, (alpha_i, r_i) x 4]: body pose plus a
+swing angle and telescoping length per leg. Foot i sits at
+  p_f,i = p_body + R(pitch) @ (hip_i + r_i [sin a_i, -cos a_i]).
+Controls (8) = hip torques + leg forces. Contacts: 4 feet with friction
+SOC pairs (like the hopper), leg limits as plain inequalities.
+Lagrangian derivatives come from jax.grad of L(q, v) with foot velocities
+via jax.jvp -- no hand-derived mass matrix.
+State: [q1; q2] (22) at t=0, then [q1; q2; gamma(4); x_first(22)] (48).
+Action u (28) = [u_ctrl(8); gamma(4); beta(8); eta(8)].
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MASS_BODY, INERTIA_BODY = 1.0, 0.1
+MASS_FOOT = 0.05
+HIPS = np.array([0.3, 0.1, -0.1, -0.3])
+FOOT_RADIUS = 0.02
+GRAVITY = 9.81
+MU = 0.8
+LEG_MIN, LEG_MAX = 0.15, 0.45
+ALPHA_LIM = 0.6
+TIMESTEP = 0.05
+NQ = 11
+NU_CTRL = 8
+NU = NU_CTRL + 4 + 8 + 8  # 28
+
+
+def foot_position(q, i):
+    c, s = jnp.cos(q[2]), jnp.sin(q[2])
+    R = jnp.array([[c, -s], [s, c]])
+    a, r = q[3 + 2 * i], q[4 + 2 * i]
+    local = jnp.array([HIPS[i] + r * jnp.sin(a), -r * jnp.cos(a)])
+    return q[:2] + R @ local
+
+
+def lagrangian(q, v):
+    ke = 0.5 * MASS_BODY * (v[0] ** 2 + v[1] ** 2) + 0.5 * INERTIA_BODY * v[2] ** 2
+    pe = MASS_BODY * GRAVITY * q[1]
+    for i in range(4):
+        p, dp = jax.jvp(lambda qq: foot_position(qq, i), (q,), (v,))
+        ke = ke + 0.5 * MASS_FOOT * (dp @ dp)
+        pe = pe + MASS_FOOT * GRAVITY * p[1]
+    return ke - pe
+
+
+_D1L = jax.grad(lagrangian, argnums=0)
+_D2L = jax.grad(lagrangian, argnums=1)
+
+
+def signed_distance(q):
+    return jnp.stack([foot_position(q, i)[1] - FOOT_RADIUS for i in range(4)])
+
+
+def foot_jacobian(q, i):
+    return jax.jacfwd(lambda qq: foot_position(qq, i))(q)
+
+
+def contact_impulse(q, gamma, beta):
+    lam = jnp.zeros(NQ)
+    for i in range(4):
+        J = foot_jacobian(q, i)  # (2, 11): rows (x, z)
+        lam = lam + J.T @ jnp.array([beta[2 * i + 1], gamma[i]])
+    return lam
+
+
+def control_map(u_ctrl):
+    """Hip torques act on alpha DOFs, leg forces on r DOFs."""
+    B = jnp.zeros(NQ)
+    for i in range(4):
+        B = B.at[3 + 2 * i].set(u_ctrl[2 * i])
+        B = B.at[4 + 2 * i].set(u_ctrl[2 * i + 1])
+    return B
+
+
+def variational_dynamics(h, q0, q1, u_ctrl, lam, q2):
+    qm1, vm1 = 0.5 * (q0 + q1), (q1 - q0) / h
+    qm2, vm2 = 0.5 * (q1 + q2), (q2 - q1) / h
+    d = (
+        0.5 * h * _D1L(qm1, vm1)
+        + _D2L(qm1, vm1)
+        + 0.5 * h * _D1L(qm2, vm2)
+        - _D2L(qm2, vm2)
+    )
+    return d + control_map(u_ctrl) + lam
+
+
+def _dyn_core(y, x, u):
+    q1m, q2m = x[0:NQ], x[NQ : 2 * NQ]
+    q2p, q3p = y[0:NQ], y[NQ : 2 * NQ]
+    gamma, beta = u[8:12], u[12:20]
+    lam = contact_impulse(q2p, gamma, beta)
+    return jnp.concatenate(
+        [q2p - q2m, variational_dynamics(TIMESTEP, q1m, q2p, u[:8], lam, q3p)]
+    )
+
+
+def dynamics_first(y, x, u):
+    return jnp.concatenate([_dyn_core(y, x, u), y[22:26] - u[8:12], y[26:48] - x])
+
+
+def dynamics_t(y, x, u):
+    return jnp.concatenate(
+        [_dyn_core(y, x, u), y[22:26] - u[8:12], y[26:48] - x[26:48]]
+    )
+
+
+def soc_product2(a, b):
+    return jnp.array([a @ b, a[0] * b[1] + b[0] * a[1]])
+
+
+def friction_equality(x, u):
+    q2, q3 = x[0:NQ], x[NQ : 2 * NQ]
+    gamma, beta, eta = u[8:12], u[12:20], u[20:28]
+    v = (q3 - q2) / TIMESTEP
+    rows = [MU * gamma - beta[0::2]]  # fc (4)
+    vts = []
+    for i in range(4):
+        _, dp = jax.jvp(lambda qq: foot_position(qq, i), (q3,), (v,))
+        vts.append(dp[0] - eta[2 * i + 1])
+    rows.append(jnp.stack(vts))  # vc (4)
+    for i in range(4):
+        rows.append(soc_product2(beta[2 * i : 2 * i + 2], eta[2 * i : 2 * i + 2]))
+    return jnp.concatenate(rows)
+
+
+def _nominal_q(x=0.0):
+    q = np.zeros(NQ)
+    q[0], q[1] = x, 0.3 + FOOT_RADIUS
+    q[2] = 0.0
+    for i in range(4):
+        q[3 + 2 * i] = 0.0
+        q[4 + 2 * i] = 0.3
+    return q
+
+
+def _bounds_rows(x, u):
+    q3 = x[NQ : 2 * NQ]
+    legs = q3[4::2]
+    alphas = q3[3::2]
+    return jnp.concatenate(
+        [
+            legs - LEG_MIN,
+            LEG_MAX - legs,
+            ALPHA_LIM - alphas,
+            alphas + ALPHA_LIM,
+            u[:8] + 20.0,
+            20.0 - u[:8],
+        ]
+    )
+
+
+def drop_problem(horizon=8, drop_height=0.1):
+    """Drop from rest above the ground and land (reference
+    quadruped_drop.jl): pure contact-implicit dynamics feasibility."""
+    q0 = _nominal_q()
+    q0[1] += drop_height
+    x1 = np.concatenate([q0, q0])
+    q_ref = _nominal_q()
+    x_ref = np.concatenate([q_ref, q_ref])
+
+    def obj_t(x, u):
+        dx = x[: 2 * NQ] - x_ref
+        return 0.05 * dx @ dx + 0.5e-2 * (u[:8] @ u[:8])
+
+    def obj_T(x, u):
+        dx = x[: 2 * NQ] - x_ref
+        return 0.5 * dx @ dx
+
+    objective = [obj_t] * (horizon - 1) + [obj_T]
+
+    def eq_1(x, u):
+        return jnp.concatenate([friction_equality(x, u), x[: 2 * NQ] - x1])
+
+    def eq_t(x, u):
+        compl = x[22:26] * signed_distance(x[NQ : 2 * NQ])
+        return jnp.concatenate([friction_equality(x, u), compl])
+
+    def eq_last(x, u):
+        return x[22:26] * signed_distance(x[NQ : 2 * NQ])
+
+    equality = [eq_1] + [eq_t] * (horizon - 2) + [eq_last]
+
+    def ineq_t(x, u):
+        return jnp.concatenate(
+            [signed_distance(x[NQ : 2 * NQ]), u[8:12], _bounds_rows(x, u)]
+        )
+
+    def ineq_last(x, u):
+        q3 = x[NQ : 2 * NQ]
+        legs, alphas = q3[4::2], q3[3::2]
+        return jnp.concatenate(
+            [
+                signed_distance(q3),
+                legs - LEG_MIN,
+                LEG_MAX - legs,
+                ALPHA_LIM - alphas,
+                alphas + ALPHA_LIM,
+            ]
+        )
+
+    nonnegative = [ineq_t] * (horizon - 1) + [ineq_last]
+
+    soc_stage = [
+        (lambda x, u, _i=i: u[12 + 2 * _i : 14 + 2 * _i]) for i in range(4)
+    ] + [(lambda x, u, _i=i: u[20 + 2 * _i : 22 + 2 * _i]) for i in range(4)]
+    second_order = [soc_stage] * (horizon - 1) + [[]]
+
+    state_guess = [x1] + [
+        np.concatenate([x1, np.zeros(4), x1]) for _ in range(horizon - 1)
+    ]
+    g_quarter = (MASS_BODY + 4 * MASS_FOOT) * GRAVITY * TIMESTEP / 4.0
+    action_guess = [
+        np.concatenate(
+            [np.zeros(8), g_quarter * np.ones(4), np.tile([0.3, 0.0], 4), np.tile([0.3, 0.0], 4)]
+        )
+        for _ in range(horizon - 1)
+    ]
+
+    return dict(
+        objective=objective,
+        dynamics=[dynamics_first] + [dynamics_t] * (horizon - 2),
+        num_states=[22] + [48] * (horizon - 1),
+        num_actions=[NU] * (horizon - 1),
+        equality=equality,
+        nonnegative=nonnegative,
+        second_order=second_order,
+        state_guess=state_guess,
+        action_guess=action_guess,
+        state_initial=x1,
+    )
+
+
+def gait_problem(horizon=11, travel=0.2):
+    """Periodic gait with a travel requirement (reference
+    quadruped_gait.jl): final (z, pitch, legs) match the carried first
+    state, body advances at least `travel`."""
+    prob = drop_problem(horizon=horizon, drop_height=0.0)
+    q_ref = _nominal_q(x=travel)
+    x_ref = np.concatenate([q_ref, q_ref])
+
+    def obj_t(x, u):
+        dx = x[: 2 * NQ] - x_ref
+        return 0.05 * dx @ dx + 0.5e-2 * (u[:8] @ u[:8])
+
+    def obj_T(x, u):
+        dx = x[: 2 * NQ] - x_ref
+        return 0.5 * dx @ dx
+
+    prob["objective"] = [obj_t] * (horizon - 1) + [obj_T]
+
+    def eq_T(x, u):
+        th = x[26:48]
+        compl = x[22:26] * signed_distance(x[NQ : 2 * NQ])
+        return jnp.concatenate(
+            [compl, x[1:NQ] - th[1:NQ], x[NQ + 1 : 2 * NQ] - th[NQ + 1 : 2 * NQ]]
+        )
+
+    prob["equality"] = prob["equality"][:-1] + [eq_T]
+
+    def ineq_T(x, u):
+        th = x[26:48]
+        return jnp.concatenate(
+            [
+                jnp.array([x[0] - th[0] - travel, x[NQ] - th[NQ] - travel]),
+                signed_distance(x[NQ : 2 * NQ]),
+            ]
+        )
+
+    prob["nonnegative"] = prob["nonnegative"][:-1] + [ineq_T]
+    return prob

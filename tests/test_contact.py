@@ -42,6 +42,23 @@ def test_ball_in_cup():
 
 
 @pytest.mark.slow
+def test_quadruped_drop():
+    # reference test/examples/quadruped_drop.jl (own analytic 11-DOF planar
+    # quadruped; see models/quadruped.py)
+    from calipso_tpu.models import quadruped
+
+    prob = quadruped.drop_problem(horizon=8, drop_height=0.1)
+    ts = _build(prob)
+    res = ts.solve()
+    assert_contract(res)
+    states, _ = ts.get_trajectory(res)
+    # all four feet end on the ground (complementarity resolved)
+    phi = np.asarray(quadruped.signed_distance(np.asarray(states[-1][11:22])))
+    assert np.all(phi > -1e-4)
+    assert np.all(phi < 1e-2)
+
+
+@pytest.mark.slow
 def test_box_move():
     # reference test/examples/box_move.jl (own analytic planar box)
     from calipso_tpu.models import box
