@@ -59,6 +59,21 @@ def test_quadruped_drop():
 
 
 @pytest.mark.slow
+def test_quadruped_gait():
+    # reference test/examples/quadruped_gait.jl: periodic gait with a
+    # travel requirement (the reference keeps this out of its CI runner;
+    # here it runs)
+    from calipso_tpu.models import quadruped
+
+    prob = quadruped.gait_problem(horizon=11, travel=0.2)
+    ts = _build(prob)
+    res = ts.solve()
+    assert_contract(res)
+    states, _ = ts.get_trajectory(res)
+    assert states[-1][0] - states[0][0] >= 0.2 - 1e-4
+
+
+@pytest.mark.slow
 def test_box_move():
     # reference test/examples/box_move.jl (own analytic planar box)
     from calipso_tpu.models import box
