@@ -39,14 +39,22 @@ def foot_position(q, i):
     return q[:2] + R @ local
 
 
+def mass_matrix(q):
+    """M(q) = body diag + sum_i m_f J_i' J_i (identical to the kinetic
+    energy of point feet; explicit form keeps the autodiff graph shallow
+    -- the nested-jvp Lagrangian tripled XLA compile times)."""
+    M = jnp.diag(jnp.array([MASS_BODY, MASS_BODY, INERTIA_BODY] + [0.0] * 8))
+    for i in range(4):
+        J = jax.jacfwd(lambda qq: foot_position(qq, i))(q)
+        M = M + MASS_FOOT * J.T @ J
+    return M
+
+
 def lagrangian(q, v):
-    ke = 0.5 * MASS_BODY * (v[0] ** 2 + v[1] ** 2) + 0.5 * INERTIA_BODY * v[2] ** 2
     pe = MASS_BODY * GRAVITY * q[1]
     for i in range(4):
-        p, dp = jax.jvp(lambda qq: foot_position(qq, i), (q,), (v,))
-        ke = ke + 0.5 * MASS_FOOT * (dp @ dp)
-        pe = pe + MASS_FOOT * GRAVITY * p[1]
-    return ke - pe
+        pe = pe + MASS_FOOT * GRAVITY * foot_position(q, i)[1]
+    return 0.5 * v @ (mass_matrix(q) @ v) - pe
 
 
 _D1L = jax.grad(lagrangian, argnums=0)

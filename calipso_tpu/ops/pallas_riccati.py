@@ -112,7 +112,7 @@ def _riccati_kernel(D_ref, O_ref, b_ref, x_ref, L_scr, M_scr, u_scr, d: int, T: 
     # backward substitution
     def bwd_body(j, x_next):
         t = T - 1 - j
-        Mt = jnp.where(t < T - 1, M_scr[jnp.minimum(t, T - 2)], jnp.zeros((d, d), dtype))
+        Mt = jnp.where(t < T - 1, M_scr[jnp.minimum(t, max(T - 2, 0))], jnp.zeros((d, d), dtype))
         rhs = u_scr[t] - jnp.sum(Mt * x_next[None, :], axis=1)
         x_t = _tri_solve_lower_T(L_scr[t], rhs[:, None], d)[:, 0]
         x_ref[0, t] = x_t
@@ -248,7 +248,7 @@ def _riccati_lanes_kernel(D_ref, OT_ref, b_ref, x_ref, L_scr, M_scr, u_scr, d: i
 
     def bwd_body(j, x_next):
         t = T - 1 - j
-        Mt = jnp.where(t < T - 1, M_scr[jnp.minimum(t, T - 2)], jnp.zeros((d, d, B), dtype))
+        Mt = jnp.where(t < T - 1, M_scr[jnp.minimum(t, max(T - 2, 0))], jnp.zeros((d, d, B), dtype))
         rhs = u_scr[t] - jnp.sum(Mt * x_next[None, :, :], axis=1)
         x_t = _trisolve_T_lanes(L_scr[t], rhs[:, None, :], d)[:, 0, :]
         x_ref[t] = x_t
@@ -291,6 +291,123 @@ def solve_batched_lanes(D, O, b, interpret=False):
         interpret=interpret,
     )(Dl, OTl, bl)
     return jnp.transpose(xl, (2, 0, 1))  # (B, T, d)
+
+
+def _factor_lanes_kernel(D_ref, OT_ref, L_ref, M_ref, d: int, T: int):
+    dtype = D_ref.dtype
+    B = D_ref.shape[-1]
+
+    def mtm(M):
+        out = jnp.zeros((d, d, B), dtype)
+        for i in range(d):
+            row = jnp.sum(
+                jnp.where(lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0) == i, M, 0.0),
+                axis=0,
+            )
+            out = out + row[:, None, :] * row[None, :, :]
+        return out
+
+    def body(t, M_prev):
+        S = D_ref[t] - mtm(M_prev)
+        L = _chol_lanes(S, d)
+        L_ref[t] = L
+        OtT = jnp.where(
+            t < T - 1, OT_ref[jnp.minimum(t, OT_ref.shape[0] - 1)], jnp.zeros((d, d, B), dtype)
+        )
+        M_t = _trisolve_lanes(L, OtT, d)
+        M_ref[t] = M_t
+        return M_t
+
+    lax.fori_loop(0, T, body, jnp.zeros((d, d, D_ref.shape[-1]), dtype))
+
+
+def _solve_lanes_kernel(L_ref, M_ref, b_ref, x_ref, u_scr, d: int, T: int):
+    dtype = L_ref.dtype
+    B = L_ref.shape[-1]
+
+    def fwd_body(t, u_prev):
+        M_prev = jnp.where(t > 0, M_ref[jnp.maximum(t - 1, 0)], jnp.zeros((d, d, B), dtype))
+        bt = b_ref[t] - jnp.sum(M_prev * u_prev[:, None, :], axis=0)
+        u_t = _trisolve_lanes(L_ref[t], bt[:, None, :], d)[:, 0, :]
+        u_scr[t] = u_t
+        return u_t
+
+    lax.fori_loop(0, T, fwd_body, jnp.zeros((d, B), dtype))
+
+    def bwd_body(j, x_next):
+        t = T - 1 - j
+        Mt = jnp.where(t < T - 1, M_ref[jnp.minimum(t, max(T - 2, 0))], jnp.zeros((d, d, B), dtype))
+        rhs = u_scr[t] - jnp.sum(Mt * x_next[None, :, :], axis=1)
+        x_t = _trisolve_T_lanes(L_ref[t], rhs[:, None, :], d)[:, 0, :]
+        x_ref[t] = x_t
+        return x_t
+
+    lax.fori_loop(0, T, bwd_body, jnp.zeros((d, B), dtype))
+
+
+def factor_lanes(D, O, interpret=False):
+    """Batched factor: D (B, T, d, d), O (B, T-1, d, d) -> L (B, T, d, d),
+    M (B, T-1, d, d) (lanes layout internally)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, d, _ = D.shape
+    dtype = D.dtype
+    Dl = jnp.transpose(D, (1, 2, 3, 0))
+    OTl = (
+        jnp.transpose(O, (1, 3, 2, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
+    )
+    kernel = functools.partial(_factor_lanes_kernel, d=d, T=T)
+    Ll, Ml = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, d, d, B), dtype),
+            jax.ShapeDtypeStruct((T, d, d, B), dtype),
+        ),
+        interpret=interpret,
+    )(Dl, OTl)
+    L = jnp.transpose(Ll, (3, 0, 1, 2))
+    M = jnp.transpose(Ml, (3, 0, 1, 2))[:, : max(T - 1, 0)]
+    return L, M
+
+
+def solve_lanes(L, M, b, interpret=False):
+    """Batched substitution with factors from factor_lanes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, d, _ = L.shape
+    dtype = L.dtype
+    Ll = jnp.transpose(L, (1, 2, 3, 0))
+    Ml = (
+        jnp.transpose(M, (1, 2, 3, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
+    )
+    # pad M back to T blocks so the kernel's dynamic index stays in range
+    if Ml.shape[0] < T:
+        Ml = jnp.concatenate([Ml, jnp.zeros((T - Ml.shape[0], d, d, B), dtype)], axis=0)
+    bl = jnp.transpose(b, (1, 2, 0))
+    kernel = functools.partial(_solve_lanes_kernel, d=d, T=T)
+    xl = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, d, B), dtype),
+        scratch_shapes=[pltpu.VMEM((T, d, B), dtype)],
+        interpret=interpret,
+    )(Ll, Ml, bl)
+    return jnp.transpose(xl, (2, 0, 1))
 
 
 def solve_batched(D, O, b, use_pallas=None):

@@ -81,3 +81,70 @@ def solve(L, M, b):
 def solve_multi(L, M, B):
     """Solve for multiple right-hand sides B (T, d, k)."""
     return jax.vmap(lambda b: solve(L, M, b), in_axes=2, out_axes=2)(B)
+
+
+# ---- custom-vmap wrappers: batched calls route to the fused Pallas
+# batch-in-lanes kernels on TPU (2.8x the XLA scan; see
+# ops/pallas_riccati.py), everything else falls back to vmap of the scan.
+
+from jax.custom_batching import custom_vmap  # noqa: E402
+
+
+def _use_pallas(axis_size, T, d, dtype):
+    """Route to the Pallas kernels only in their measured winning regime
+    (blocks large enough to amortize the masked ops, batch wide enough to
+    fill lanes; 2.8x at B=128, T=21, d=8 on a v5e)."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    vmem_bytes = 4 * axis_size * T * d * d * dtype.itemsize
+    return (
+        on_tpu
+        and T >= 2
+        and d >= 6
+        and axis_size >= 32
+        and dtype == jnp.float32
+        and vmem_bytes < 8 * 2**20
+    )
+
+
+def _bcast(x, batched, axis_size):
+    return x if batched else jnp.broadcast_to(x[None], (axis_size,) + x.shape)
+
+
+@custom_vmap
+def factor_cv(D, O):
+    return factor(D, O)
+
+
+@factor_cv.def_vmap
+def _factor_vmap(axis_size, in_batched, D, O):
+    D = _bcast(D, in_batched[0], axis_size)
+    O = _bcast(O, in_batched[1], axis_size)
+    if _use_pallas(axis_size, D.shape[1], D.shape[2], D.dtype):
+        from calipso_tpu.ops import pallas_riccati as pr
+
+        out = pr.factor_lanes(D, O)
+    else:
+        out = jax.vmap(factor)(D, O)
+    return out, (True, True)
+
+
+@custom_vmap
+def solve_cv(L, M, b):
+    return solve(L, M, b)
+
+
+@solve_cv.def_vmap
+def _solve_vmap(axis_size, in_batched, L, M, b):
+    L = _bcast(L, in_batched[0], axis_size)
+    M = _bcast(M, in_batched[1], axis_size)
+    b = _bcast(b, in_batched[2], axis_size)
+    if _use_pallas(axis_size, L.shape[1], L.shape[2], L.dtype):
+        from calipso_tpu.ops import pallas_riccati as pr
+
+        out = pr.solve_lanes(L, M, b)
+    else:
+        out = jax.vmap(solve)(L, M, b)
+    return out, True

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from calipso_tpu.options import Options
 from calipso_tpu.ops.cones import ConeLayout
 from calipso_tpu.solver.problem import ProblemFunctions
-from calipso_tpu.solver.solve import make_solve, State
+from calipso_tpu.solver.solve import make_solve, resolve_options, State
 from calipso_tpu.solver.kkt import Blocks
 from calipso_tpu.solver import differentiate
 
@@ -46,13 +46,7 @@ class SolveResult(NamedTuple):
 def solve_fn(fns: ProblemFunctions, layout: ConeLayout, opts: Options, callbacks=None):
     """Functional solve closure: (x0, theta, warm) -> SolveResult.
     Pure and shape-static: compose with jax.jit / vmap / shard_map."""
-    if opts.linear_solver == "auto":
-        structure = getattr(fns, "stage_structure", None)
-        opts = opts.replace(
-            linear_solver=(
-                "riccati" if structure is not None and not structure.has_general else "schur"
-            )
-        )
+    opts = resolve_options(opts, fns)
     core = make_solve(fns, layout, opts, callbacks)
 
     def run(x0, theta=None, warm=None) -> SolveResult:
@@ -110,15 +104,7 @@ class Solver:
         self.layout = ConeLayout(
             self.fns.dims.cone, nonnegative_indices, second_order_indices
         )
-        if options.linear_solver == "auto":
-            structure = getattr(self.fns, "stage_structure", None)
-            options = options.replace(
-                linear_solver=(
-                    "riccati"
-                    if structure is not None and not structure.has_general
-                    else "schur"
-                )
-            )
+        options = resolve_options(options, self.fns)
         self.options = options
         self.dims = self.fns.dims
         self._callbacks = None

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from calipso_tpu.solver.solve import make_solve
+from calipso_tpu.solver.solve import make_solve, resolve_options
 from calipso_tpu.solver import differentiate
 
 
@@ -24,13 +24,7 @@ def make_differentiable_solve(fns, layout, opts):
     differentiable in theta via the KKT implicit function theorem. x0 (the
     initial guess) gets zero cotangent: at a regular solution w* does not
     depend on the starting point."""
-    if opts.linear_solver == "auto":
-        structure = getattr(fns, "stage_structure", None)
-        opts = opts.replace(
-            linear_solver=(
-                "riccati" if structure is not None and not structure.has_general else "schur"
-            )
-        )
+    opts = resolve_options(opts, fns)
     core = make_solve(fns, layout, opts)
     total = fns.dims.total
 

@@ -218,7 +218,7 @@ def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl", struct
         D, O = _riccati_blocks(layout, structure, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
         from calipso_tpu.ops import riccati as rc
 
-        L, M = rc.factor(D, O)
+        L, M = rc.factor_cv(D, O)
         return Factorization(L, e0, M, gx, hx, s, t, rho, eps_p, eps_d)
     assert method == "schur", method
     n = Hxx.shape[0]
@@ -349,7 +349,7 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structu
         from calipso_tpu.ops import riccati as rc
 
         if vec:
-            dx = structure.from_blocks(rc.solve(fact.L, fact.M, structure.to_blocks(rhs_x)))
+            dx = structure.from_blocks(rc.solve_cv(fact.L, fact.M, structure.to_blocks(rhs_x)))
         else:
             B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
             X = rc.solve_multi(fact.L, fact.M, B)

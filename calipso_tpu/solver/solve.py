@@ -33,6 +33,19 @@ from calipso_tpu.utils.norms import norm_p, inf_norm, one_norm
 BIG = 1.0e8  # empty-filter sentinel (reference filter.jl:8-13)
 
 
+def resolve_options(opts, fns):
+    """Resolve linear_solver='auto': riccati for trajopt problems without
+    general equality constraints, dense Schur otherwise."""
+    if opts.linear_solver != "auto":
+        return opts
+    structure = getattr(fns, "stage_structure", None)
+    return opts.replace(
+        linear_solver=(
+            "riccati" if structure is not None and not structure.has_general else "schur"
+        )
+    )
+
+
 class State(NamedTuple):
     p: Blocks  # current primal-dual iterate (x, r, s, y, z, t)
     kappa: jnp.ndarray  # central path
@@ -115,14 +128,7 @@ def make_solve(fns, layout, opts, callbacks=None):
     n, me, mc, npar = dims.variables, dims.equality, dims.cone, dims.parameters
     ns, ntot = dims.symmetric, dims.total
     structure = getattr(fns, "stage_structure", None)
-    if opts.linear_solver == "auto":
-        opts = opts.replace(
-            linear_solver=(
-                "riccati"
-                if structure is not None and not structure.has_general
-                else "schur"
-            )
-        )
+    opts = resolve_options(opts, fns)
     if opts.linear_solver == "riccati":
         if structure is None:
             raise ValueError("linear_solver='riccati' requires a trajopt problem (stage structure)")
