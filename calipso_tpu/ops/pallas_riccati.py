@@ -14,13 +14,18 @@ rank-1 / axpy updates on (d, d) blocks, all VPU ops.
 Falls back transparently: `solve_batched` dispatches to the XLA scan
 implementation (ops/riccati.py) when Pallas is unavailable or on CPU.
 
-Status (v5e measurement, B=64 T=21 d=8 f32): numerically exact vs the XLA
-scan (1.5e-7 max diff) but 3.5x SLOWER (10.4 vs 3.0 ms/batch) -- the TPU
-grid executes programs sequentially on one core, so batch-per-program
-serializes what XLA's vmapped scan vectorizes across lanes. The right
-layout is batch-in-lanes ((T, d, d, B) with B on the 128-lane axis and the
-small contractions unrolled over d); planned follow-up. Until then the
-solver keeps the XLA scan path and this kernel is opt-in.
+Status (v5e measurements, f32):
+* grid-per-scenario variant: exact but 3.5x SLOWER than the XLA scan
+  (10.4 vs 3.0 ms at B=64, T=21, d=8) -- TPU grid programs serialize on
+  one core. Kept as documentation of the negative result.
+* batch-in-lanes variant ((T, d, d, B), B on the 128-lane axis, small
+  contractions unrolled over d): 2.8x FASTER than the XLA vmapped scan
+  (1.17 vs 3.24 ms at B=128, T=21, d=8), max diff 2e-7. Split
+  factor/solve kernels are wired into the solver through
+  jax.custom_batching.custom_vmap (ops/riccati.py factor_cv/solve_cv),
+  gated behind CALIPSO_PALLAS_RICCATI=1: inside a vmapped full-solve
+  program the Mosaic remote compile has been observed to take
+  pathologically long, so the default stays on the XLA scan.
 """
 
 from __future__ import annotations
