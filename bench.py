@@ -26,7 +26,7 @@ import jax.numpy as jnp
 # (placeholder baseline; see module docstring)
 NOMINAL_SOLVES_PER_S = 10.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
 HORIZON = int(os.environ.get("BENCH_HORIZON", "11"))
 
 

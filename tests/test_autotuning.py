@@ -180,6 +180,76 @@ def test_cartpole_mpc_autotuning():
     assert history[-1] < history[0], history
 
 
+def test_acrobot_mpc_autotuning():
+    """Acrobot MPC auto-tuning (reference examples/autotuning/acrobot.jl):
+    the second half of the reference's auto-tuning pair."""
+    import pytest
+
+    from calipso_tpu import TrajOptSolver
+    from calipso_tpu.models import acrobot
+    from calipso_tpu import Options as Opts
+
+    T = 4
+    nx, nu = 4, 1
+
+    def stage_cost(x, u, w):
+        return 0.5 * x @ (w[:4] * x) + 0.05 * (u @ u)
+
+    objective = [
+        lambda x, u, w: 0.5 * x @ (w[:4] * x) + 0.05 * (u @ u),
+        *[stage_cost] * (T - 2),
+        lambda x, u, w: 0.5 * x @ (w[:4] * x),
+    ]
+    equality = [lambda x, u, w: x - w[4:8], *[None] * (T - 1)]
+    parameters = (
+        [np.concatenate([np.ones(4), np.zeros(4)])]
+        + [np.ones(4)] * (T - 2)
+        + [10.0 * np.ones(4)]
+    )
+    opts = Opts(residual_tolerance=1e-6, equality_tolerance=1e-6, complementarity_tolerance=1e-6)
+    ts = TrajOptSolver(
+        objective,
+        [acrobot.discrete] * (T - 1),
+        [nx] * T,
+        [nu] * (T - 1),
+        equality=equality,
+        parameters=parameters,
+        options=opts,
+    )
+
+    def theta_builder(weights, state):
+        return jnp.concatenate(
+            [weights, state] + [weights] * (T - 2) + [10.0 * jnp.ones(4)]
+        )
+
+    pol = autotuning.make_mpc_policy(
+        ts,
+        guess=np.zeros(ts.num_variables),
+        theta_builder=theta_builder,
+        action_indices=ts._action_indices[0],
+        num_weights=4,
+    )
+
+    def sim(x, u):
+        xm = x + 0.5 * 0.05 * acrobot.continuous(x, u)
+        return x + 0.05 * acrobot.continuous(xm, u)
+
+    xref = jnp.array([np.pi, 0.0, 0.0, 0.0])
+    loss = autotuning.rollout_loss(
+        pol.policy,
+        sim,
+        horizon=5,
+        state_cost=np.diag([5.0, 1.0, 0.1, 0.1]),
+        action_cost=0.01 * np.eye(1),
+        state_reference=xref,
+        action_reference=np.zeros(1),
+    )
+    w0 = jnp.array([1.0, 1.0, 1.0, 1.0])
+    x0 = jnp.array([np.pi - 0.15, 0.1, 0.0, 0.0])
+    w_tuned, history = autotuning.autotune(loss, w0, x0, max_iterations=3)
+    assert history[-1] < history[0], history
+
+
 def test_autotune_reduces_loss():
     ts, pol = _policy()
     sim = lambda x, u: jnp.asarray(A) @ x + jnp.asarray(B) * u[0]
