@@ -175,16 +175,23 @@ def lu_solve_full(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, res: Blocks) -> 
 
 class Factorization(NamedTuple):
     """Factorization of the condensed system plus the context needed to
-    apply it. Two backends (static choice via Options.linear_solver):
+    apply it. Backends (static choice via Options.linear_solver; "auto"
+    resolves to riccati for trajopt, else schur):
 
-    * "ldl":   dense unpivoted LDL^T of the full (n+m_e+m_c) condensed
-               matrix; exact inertia from sign(D). Reference-faithful
-               (QDLDL analogue).
-    * "schur": one more Schur complement onto the primal block,
-               S = W + eps_p*I + gx' Ceq^-1 gx + hx' Ccone^-1 hx,
-               factorized by XLA's blocked Cholesky -- the MXU fast path.
-               Correct inertia <=> S is PD <=> the Cholesky is finite
-               (inertia(K) = inertia(-C) + inertia(S), C always PD).
+    * "ldl":     dense unpivoted LDL^T of the full (n+m_e+m_c) condensed
+                 matrix; exact inertia from sign(D). Reference-faithful
+                 (QDLDL analogue).
+    * "schur":   one more Schur complement onto the primal block,
+                 S = W + eps_p*I + gx' Ceq^-1 gx + hx' Ccone^-1 hx,
+                 factorized by XLA's blocked Cholesky -- the MXU fast
+                 path. Correct inertia <=> S is PD <=> the Cholesky is
+                 finite (inertia(K) = inertia(-C) + inertia(S), C PD).
+    * "riccati": same S in stage-block tridiagonal form, factorized by a
+                 lax.scan block-Cholesky sweep (ops/riccati.py); O(T d^3)
+                 per factorization. Trajopt only (needs stage structure;
+                 no equality_general).
+    * "lu":      steps from dense LU of the full 6-block system
+                 (lu_solve_full); the ladder still runs on "schur".
     """
 
     L: jnp.ndarray  # ldl: unit-lower; schur: chol(S); riccati: (T,d,d) chols

@@ -47,6 +47,40 @@ def test_vmap_batch():
         assert abs(np.linalg.norm(b) - float(th[i, 3])) < 1e-3
 
 
+def test_sharded_trajopt_riccati():
+    """vmap + mesh-sharded trajopt solves through the riccati backend (the
+    bench workload shape, on the 8-device CPU mesh)."""
+    from calipso_tpu import TrajOptSolver, Options
+    from calipso_tpu.solver.api import solve_fn
+    from calipso_tpu.models import pendulum
+
+    prob = pendulum.swingup_problem(horizon=11, parametric_initial_state=True)
+    kw = {
+        k: v
+        for k, v in prob.items()
+        if k not in ("state_guess", "state_initial", "state_goal")
+    }
+    ts = TrajOptSolver(options=Options(), **kw)
+    assert ts.solver.options.linear_solver == "riccati"
+    run = solve_fn(ts.solver.fns, ts.solver.layout, ts.solver.options)
+    guess = np.zeros(ts.num_variables)
+    xg = np.array([np.pi, 0.0])
+    for t, idx in enumerate(ts._state_indices):
+        guess[idx] = xg * t / 10
+
+    solve_batch = jax.jit(jax.vmap(lambda th: run(jnp.asarray(guess), th)))
+    rng = np.random.default_rng(0)
+    x0s = jnp.asarray(0.2 * rng.normal(size=(16, 2)))
+    mesh = Mesh(np.array(jax.devices()), axis_names=("batch",))
+    x0s_sharded = jax.device_put(x0s, NamedSharding(mesh, P("batch")))
+    res = solve_batch(x0s_sharded)
+    assert bool(jnp.all(res.state.solved))
+    res_ref = solve_batch(x0s)
+    np.testing.assert_allclose(
+        np.asarray(res.state.p.x), np.asarray(res_ref.state.p.x), atol=1e-10
+    )
+
+
 def test_sharded_batch():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
