@@ -4,7 +4,6 @@ matrices, cost weights, and boundary states -- the canonical
 differentiable-solver example."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from calipso_tpu.trajopt.transcription import linear_interpolation
 

@@ -19,7 +19,6 @@ import jax
 import jax.numpy as jnp
 
 from calipso_tpu.ops import cones
-from calipso_tpu.ops.ldl import ldl_solve
 from calipso_tpu.solver import kkt
 
 

@@ -25,7 +25,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from calipso_tpu.ops import cones
-from calipso_tpu.ops.ldl import inertia_counts, ldl_solve
 from calipso_tpu.solver import kkt
 from calipso_tpu.solver.kkt import Blocks
 from calipso_tpu.utils.norms import norm_p, inf_norm, one_norm

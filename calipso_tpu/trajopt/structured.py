@@ -18,7 +18,7 @@ KKT backend consumes the same stage tables.
 
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple
+from typing import Callable, NamedTuple
 
 import numpy as np
 import jax
