@@ -23,9 +23,11 @@ Status (v5e measurements, f32):
   (1.17 vs 3.24 ms at B=128, T=21, d=8), max diff 2e-7. Split
   factor/solve kernels are wired into the solver through
   jax.custom_batching.custom_vmap (ops/riccati.py factor_cv/solve_cv),
-  gated behind CALIPSO_PALLAS_RICCATI=1: inside a vmapped full-solve
-  program the Mosaic remote compile has been observed to take
-  pathologically long, so the default stays on the XLA scan.
+  gated behind CALIPSO_PALLAS_RICCATI=1. Diagnosed: jit(vmap(factor_cv))
+  alone compiles in ~1.6s at the exact shape (B=32, T=31, d=9) that never
+  finished compiling inside the solver's vmapped lax.while_loop nest --
+  the hang is specific to pallas_call inside a batched while_loop, so the
+  default stays on the XLA scan until that interaction is resolved.
 """
 
 from __future__ import annotations
