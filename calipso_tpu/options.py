@@ -76,6 +76,8 @@ class Options:
     #                equality constraints, else "schur"
     #   "riccati" -> block-tridiagonal Cholesky over stage blocks
     #                (lax.scan Riccati sweep; O(T d^3) per factorization)
+    #   "cr"      -> parallel-in-time block cyclic reduction over stages
+    #                (O(log T) depth; long-horizon trajopt)
     #   "schur"   -> primal Schur-complement dense Cholesky (MXU path,
     #                ~70x faster than ldl on a T=61 rocket)
     #   "ldl"     -> dense unpivoted LDL^T of the condensed quasidefinite

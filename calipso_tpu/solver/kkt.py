@@ -190,6 +190,11 @@ class Factorization(NamedTuple):
                  lax.scan block-Cholesky sweep (ops/riccati.py); O(T d^3)
                  per factorization. Trajopt only (needs stage structure;
                  no equality_general).
+    * "cr":      same stage-block tridiagonal S, factorized by parallel
+                 block cyclic reduction (ops/cyclic_reduction.py):
+                 O(log T) sequential depth, every level a batched
+                 Cholesky/matmul over all odd stages -- the
+                 parallel-in-time backend for long horizons. Trajopt only.
     * "lu":      steps from dense LU of the full 6-block system
                  (lu_solve_full); the ladder still runs on "schur".
     """
@@ -204,6 +209,8 @@ class Factorization(NamedTuple):
     rho: jnp.ndarray
     eps_p: jnp.ndarray
     eps_d: jnp.ndarray
+    # cr: (levels, L_final) from ops/cyclic_reduction.factor; () otherwise
+    cr: tuple = ()
 
 
 def _ceq(fact):
@@ -227,6 +234,13 @@ def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl", struct
 
         L, M = rc.factor_cv(D, O)
         return Factorization(L, e0, M, gx, hx, s, t, rho, eps_p, eps_d)
+    if method == "cr":
+        assert structure is not None, "cr backend needs trajopt stage structure"
+        D, O = _riccati_blocks(layout, structure, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
+        from calipso_tpu.ops import cyclic_reduction as crd
+
+        fact_cr = crd.factor(D, O)
+        return Factorization(e3, e0, e3, gx, hx, s, t, rho, eps_p, eps_d, fact_cr)
     assert method == "schur", method
     n = Hxx.shape[0]
     ceq = 1.0 / (rho + eps_p) + eps_d
@@ -320,6 +334,10 @@ def inertia_ok(fact: Factorization, n, me, mc, method="ldl"):
     """Target inertia (n positive, m_e+m_c negative, 0 zero) -- reference
     inertia.jl:7-11. The schur/riccati backends read it off Cholesky
     success."""
+    if method == "cr":
+        from calipso_tpu.ops import cyclic_reduction as crd
+
+        return crd.factors_finite(fact.cr)
     if method in ("schur", "riccati"):
         return jnp.all(jnp.isfinite(fact.L))
     pos, neg, zero = inertia_counts(fact.d)
@@ -329,7 +347,7 @@ def inertia_ok(fact: Factorization, n, me, mc, method="ldl"):
 def num_zero_eigs(fact: Factorization, method="ldl"):
     """Zero-eigenvalue count for the IC-2 rank-deficiency branch; the schur
     backend cannot distinguish it (returns 0)."""
-    if method == "schur":
+    if method in ("schur", "cr"):
         return jnp.zeros((), jnp.int32)
     _, _, zero = inertia_counts(fact.d)
     return zero.astype(jnp.int32)
@@ -360,6 +378,15 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structu
         else:
             B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
             X = rc.solve_multi(fact.L, fact.M, B)
+            dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
+    elif method == "cr":
+        from calipso_tpu.ops import cyclic_reduction as crd
+
+        if vec:
+            dx = structure.from_blocks(crd.solve(fact.cr, structure.to_blocks(rhs_x)))
+        else:
+            B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
+            X = crd.solve_multi(fact.cr, B)
             dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
     else:
         b = rhs_x[:, None] if vec else rhs_x

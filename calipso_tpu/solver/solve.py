@@ -128,11 +128,15 @@ def make_solve(fns, layout, opts, callbacks=None):
     ns, ntot = dims.symmetric, dims.total
     structure = getattr(fns, "stage_structure", None)
     opts = resolve_options(opts, fns)
-    if opts.linear_solver == "riccati":
+    if opts.linear_solver in ("riccati", "cr"):
         if structure is None:
-            raise ValueError("linear_solver='riccati' requires a trajopt problem (stage structure)")
+            raise ValueError(
+                f"linear_solver={opts.linear_solver!r} requires a trajopt problem (stage structure)"
+            )
         if structure.has_general:
-            raise ValueError("linear_solver='riccati' does not support equality_general (dense coupling); use 'schur'")
+            raise ValueError(
+                f"linear_solver={opts.linear_solver!r} does not support equality_general (dense coupling); use 'schur'"
+            )
 
     def merit_value(f, r, barrier_val, kappa, lam, rho):
         """AL + barrier merit M = f + lam'r + rho/2 |r|^2 - kappa*Phi

@@ -20,3 +20,8 @@ import jax
 # does not stick -- override the config explicitly
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the suite is compile-bound (every test jits
+# a whole solve program), so cache XLA executables across pytest runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_calipso")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
