@@ -86,6 +86,18 @@ class Options:
     #                :LU path for hard nonsymmetric cases)
     linear_solver: str = "auto"
 
+    # line-search execution mode. The reference's backtracking loops
+    # (solve.jl:193-221 cone search, :252-302 filter search) are serial:
+    # each trial evaluates the cone violation / the full (f, g, h). On TPU
+    # the same semantics run as ONE batched evaluation of every candidate
+    # step size 0.5^k followed by a first-accepted select -- no
+    # data-dependent loop, so vmapped solves stay out of lockstep stalls
+    # and the serial dependency chain per Newton step collapses.
+    #   "auto"     -> "parallel" on TPU/GPU, "serial" on CPU
+    #   "serial"   -> reference-shaped masked while_loops
+    #   "parallel" -> batched candidate evaluation (identical accept rule)
+    line_search_mode: str = "auto"
+
     # differentiation (reference options.jl:53)
     differentiate: bool = False
 

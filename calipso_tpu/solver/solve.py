@@ -35,6 +35,12 @@ BIG = 1.0e8  # empty-filter sentinel (reference filter.jl:8-13)
 def resolve_options(opts, fns):
     """Resolve linear_solver='auto': riccati for trajopt problems without
     general equality constraints, dense Schur otherwise."""
+    if opts.line_search_mode == "auto":
+        opts = opts.replace(
+            line_search_mode=(
+                "parallel" if jax.default_backend() in ("tpu", "gpu") else "serial"
+            )
+        )
     if opts.linear_solver != "auto":
         return opts
     structure = getattr(fns, "stage_structure", None)
@@ -274,10 +280,30 @@ def make_solve(fns, layout, opts, callbacks=None):
 
     # ---- fraction-to-the-boundary cone search (reference solve.jl:193-221) --
 
+    def candidate_alphas(a0, count):
+        """[a0, a0*c, a0*c^2, ...] (count+1 entries) by cumulative product,
+        matching the serial loop's repeated multiplication bit-for-bit."""
+        facs = jnp.concatenate(
+            [
+                jnp.ones((1,), a0.dtype),
+                jnp.full((count,), opts.scaling_line_search, a0.dtype),
+            ]
+        )
+        return a0 * jnp.cumprod(facs)
+
     def ftb_search(u, du, tau):
         one = jnp.ones((), u.dtype)
         if mc == 0:
             return one, jnp.asarray(False)
+        if opts.line_search_mode == "parallel":
+            # evaluate every candidate 0.5^k at once; take the first
+            # (largest) non-violating one -- identical to the serial scan
+            alphas = candidate_alphas(one, opts.max_cone_line_search)
+            viol = jax.vmap(lambda a: cones.violation(layout, u - a * du, u, tau))(alphas)
+            ok = ~viol
+            fail = ~jnp.any(ok)
+            a = jnp.where(fail, alphas[-1], alphas[jnp.argmax(ok)])
+            return a, fail
         v0 = cones.violation(layout, u - du, u, tau)
 
         def cond(c):
@@ -353,14 +379,10 @@ def make_solve(fns, layout, opts, callbacks=None):
             th = constraint_violation(gh, rh, hh, sh, opts.constraint_norm)
             return mh, th
 
-        m0, t0 = cand_eval(alpha_s)
-
-        def ls_cond(c):
-            _, _, _, k, accepted = c
-            return (~accepted) & (k < opts.max_residual_line_search)
-
-        def ls_body(c):
-            a, mh, th, k, _ = c
+        def accept_rule(a, mh, th):
+            """The reference's acceptance test (solve.jl:262-301): filter
+            admissibility AND (switching+Armijo OR sufficient progress).
+            Elementwise, so it applies to a whole candidate vector too."""
             ok_filter = filter_check(th, mh, st.filt)
             c1 = (
                 (cv <= opts.slack_tolerance)
@@ -373,19 +395,44 @@ def make_solve(fns, layout, opts, callbacks=None):
                 cv, th, merit, mh,
                 opts.violation_tolerance, opts.merit_tolerance, mach,
             )
-            accepted = ok_filter & (c1 | c2)
+            return ok_filter & (c1 | c2)
 
-            def halve(_):
-                a2 = opts.scaling_line_search * a
-                m2, t2 = cand_eval(a2)
-                return a2, m2, t2
+        if opts.line_search_mode == "parallel":
+            # one batched (f, g, h) evaluation over every backtracking
+            # candidate alpha_s * 0.5^k, then select the first accepted --
+            # the serial loop's result, without the serial eval chain
+            alphas = candidate_alphas(alpha_s, opts.max_residual_line_search)
+            ms, ths = jax.vmap(cand_eval)(alphas)
+            accepted_v = jax.vmap(
+                lambda a, mh, th: accept_rule(a, mh, th)
+            )(alphas, ms, ths)
+            # the serial loop never tests the final fallback candidate
+            accepted_v = accepted_v.at[-1].set(False)
+            any_acc = jnp.any(accepted_v)
+            idx = jnp.where(any_acc, jnp.argmax(accepted_v), alphas.shape[0] - 1)
+            alpha, m_cand, t_cand = alphas[idx], ms[idx], ths[idx]
+        else:
+            m0, t0 = cand_eval(alpha_s)
 
-            a2, m2, t2 = lax.cond(accepted, lambda _: (a, mh, th), halve, None)
-            return a2, m2, t2, k + (~accepted).astype(k.dtype), accepted
+            def ls_cond(c):
+                _, _, _, k, accepted = c
+                return (~accepted) & (k < opts.max_residual_line_search)
 
-        alpha, m_cand, t_cand, _, _ = lax.while_loop(
-            ls_cond, ls_body, (alpha_s, m0, t0, jnp.zeros((), jnp.int32), jnp.asarray(False))
-        )
+            def ls_body(c):
+                a, mh, th, k, _ = c
+                accepted = accept_rule(a, mh, th)
+
+                def halve(_):
+                    a2 = opts.scaling_line_search * a
+                    m2, t2 = cand_eval(a2)
+                    return a2, m2, t2
+
+                a2, m2, t2 = lax.cond(accepted, lambda _: (a, mh, th), halve, None)
+                return a2, m2, t2, k + (~accepted).astype(k.dtype), accepted
+
+            alpha, m_cand, t_cand, _, _ = lax.while_loop(
+                ls_cond, ls_body, (alpha_s, m0, t0, jnp.zeros((), jnp.int32), jnp.asarray(False))
+            )
 
         # filter augmentation (reference filter.jl:81-89): add the pre-step
         # pair when the switching or Armijo condition failed at alpha
