@@ -115,8 +115,11 @@ class Options:
     # true-f32 accumulation on the MXU
     matmul_precision: str = "highest"
 
-    # host-side verbose printing via jax.debug.callback (off inside vmap)
+    # host-side verbose printing via jax.debug.callback (off inside vmap);
+    # the iteration table prints every print_frequency inner iterations
+    # (reference options.jl:54,:58; print.jl:20-53)
     verbose: bool = False
+    print_frequency: int = 1
 
     def replace(self, **kw) -> "Options":
         return dataclasses.replace(self, **kw)

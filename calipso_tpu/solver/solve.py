@@ -512,15 +512,24 @@ def make_solve(fns, layout, opts, callbacks=None):
             cone_product_violation=cone_product_violation,
         )
         if opts.verbose:
-            # host-side iteration telemetry (reference print.jl:20-53)
-            jax.debug.print(
-                "outer {j} inner {i} | res {r:.2e} opt {o:.2e} slack {sl:.2e} "
-                "eq {e:.2e} comp {c:.2e} | kappa {k:.1e} rho {p:.1e} alpha {a:.1e} "
-                "ep {ep:.1e} ed {ed:.1e}",
-                j=st.outer_i, i=st.inner_i, r=residual_violation, o=opt_violation,
-                sl=slack_violation, e=equality_violation, c=cone_product_violation,
-                k=st.kappa, p=st.rho, a=st.step_size,
-                ep=st.eps_p_used, ed=st.eps_d_used,
+            # host-side iteration telemetry every print_frequency inner
+            # iterations (reference print.jl:20-53, options.jl:54)
+            def _print_row(s):
+                jax.debug.print(
+                    "outer {j} inner {i} | res {r:.2e} opt {o:.2e} slack {sl:.2e} "
+                    "eq {e:.2e} comp {c:.2e} | kappa {k:.1e} rho {p:.1e} alpha {a:.1e} "
+                    "ep {ep:.1e} ed {ed:.1e}",
+                    j=s.outer_i, i=s.inner_i, r=residual_violation, o=opt_violation,
+                    sl=slack_violation, e=equality_violation, c=cone_product_violation,
+                    k=s.kappa, p=s.rho, a=s.step_size,
+                    ep=s.eps_p_used, ed=s.eps_d_used,
+                )
+
+            lax.cond(
+                st.total_i % opts.print_frequency == 0,
+                _print_row,
+                lambda s: None,
+                st,
             )
         take = ~(st.solved | st.inner_done | st.failed)
         return lax.cond(
