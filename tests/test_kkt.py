@@ -141,6 +141,40 @@ def test_matvec_matches_dense(setup):
     np.testing.assert_allclose(np.asarray(out.all), J @ vec, atol=1e-9)
 
 
+def test_refinement_reduces_error_f32(setup):
+    """Iterative refinement against the exact 6-block operator shrinks the
+    f32 factorization/condensation error monotonically below tolerance
+    (reference problem.jl:206-211, iterative_refinement.jl:1-53). f32 is
+    the TPU case the mechanism exists for."""
+    fns, layout, point, kappa, rho, lam, eps_p, eps_d, c = setup
+    pt = Blocks(*(v.astype(jnp.float32) for v in point))
+    res64 = eval_residual(fns, layout, point, kappa, rho, lam)
+    res = Blocks(*(v.astype(jnp.float32) for v in res64))
+    theta = jnp.zeros((0,), jnp.float32)
+    Hxx = fns.lagrangian_hessian_xx(pt.x, theta, pt.y, pt.z, True)
+    gx, hx = fns.gx(pt.x, theta), fns.hx(pt.x, theta)
+    f32 = jnp.float32
+    fact = kkt.factorize(
+        layout, Hxx, gx, hx, pt.s, pt.t, f32(rho), f32(eps_p), f32(eps_d)
+    )
+    step = kkt.solve_with(layout, fact, res, N, ME, MC)
+
+    def err_norm(stp):
+        mv = kkt.matvec(layout, Hxx, gx, hx, pt.s, pt.t, f32(rho), f32(eps_p), f32(eps_d), stp)
+        return float(jnp.max(jnp.abs(res.all - mv.all))), mv
+
+    e0, mv = err_norm(step)
+    errs = [e0]
+    for _ in range(3):
+        err = Blocks(*(a - b for a, b in zip(res, mv)))
+        corr = kkt.solve_with(layout, fact, err, N, ME, MC)
+        step = Blocks(*(a + b for a, b in zip(step, corr)))
+        e, mv = err_norm(step)
+        errs.append(e)
+    assert errs[-1] < 1e-5, errs
+    assert errs[-1] < errs[0], errs
+
+
 def test_soc_condensed_step(setup):
     """Same condensation check with a mixed orthant + SOC layout."""
     rng = np.random.default_rng(12)
