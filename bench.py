@@ -139,6 +139,46 @@ def bench_rocket101():
     }
 
 
+def bench_hopper_gait():
+    """Contact-implicit hopper gait T=21 (SOC friction, impact
+    complementarity, gait periodicity + travel) -- the reference's
+    hardest-in-CI example family (test/examples/hopper_gait.jl), single
+    solve on the accelerator, f32."""
+    from calipso_tpu import TrajOptSolver, Options
+    from calipso_tpu.models import hopper
+
+    prob = hopper.gait_problem()
+    kw = {
+        k: v
+        for k, v in prob.items()
+        if k
+        not in ("state_guess", "state_initial", "state_goal", "action_guess", "penalty_initial")
+    }
+    opts = Options(
+        residual_tolerance=1e-3,
+        optimality_tolerance=1e-3,
+        slack_tolerance=1e-3,
+        equality_tolerance=1e-3,
+        complementarity_tolerance=1e-3,
+        iterative_refinement_tolerance=1e-6,
+    )
+    ts = TrajOptSolver(options=opts, **kw)
+    ts.initialize_states([np.asarray(s, np.float32) for s in prob["state_guess"]])
+    if "action_guess" in prob:
+        ts.initialize_actions([np.asarray(a, np.float32) for a in prob["action_guess"]])
+    r = ts.solve()
+    jax.block_until_ready(r.state.p.x)
+    t0 = time.time()
+    r = ts.solve()
+    jax.block_until_ready(r.state.p.x)
+    dt = time.time() - t0
+    return {
+        "hopper_gait_solved": bool(r.solved),
+        "hopper_gait_iterations": int(r.iterations),
+        "hopper_gait_solve_s": round(dt, 3),
+    }
+
+
 def main():
     solve_batch = build()
     rng = np.random.default_rng(0)
@@ -175,6 +215,11 @@ def main():
             extra.update(bench_rocket101())
     except Exception as e:  # keep the primary metric robust
         extra["rocket101_error"] = repr(e)[:200]
+    try:
+        if os.environ.get("BENCH_SKIP_CONTACT", "0") != "1":
+            extra.update(bench_hopper_gait())
+    except Exception as e:
+        extra["hopper_gait_error"] = repr(e)[:200]
 
     print(
         json.dumps(
