@@ -26,7 +26,9 @@ import jax.numpy as jnp
 # (placeholder baseline; see module docstring)
 NOMINAL_SOLVES_PER_S = 10.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+# B=2048 is the measured throughput sweet spot on one v5e chip (solves/s
+# keeps rising 256 -> 2048 and flattens after; see README benchmark table)
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 HORIZON = int(os.environ.get("BENCH_HORIZON", "11"))
 
 

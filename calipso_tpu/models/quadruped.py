@@ -282,3 +282,21 @@ def gait_problem(horizon=11, travel=0.2):
 
     prob["nonnegative"] = prob["nonnegative"][:-1] + [ineq_T]
     return prob
+
+
+def mpc_problem(horizon=4):
+    """Short-horizon contact-implicit MPC problem for stance stabilization
+    (the workload of reference examples/contact_implicit/quadruped_mpc.jl,
+    which tracks a CALIPSO-solved gait with ContactImplicitMPC.jl's
+    controller; here the controller IS this solver). The measured state
+    (q1, q2) enters through the stage-0 parameter so one compiled
+    short-horizon contact solve serves every control step — the
+    receding-horizon pattern of apps/mpc.py."""
+    prob = drop_problem(horizon=horizon, drop_height=0.0)
+
+    def eq_1(x, u, w):
+        return jnp.concatenate([friction_equality(x, u), x[: 2 * NQ] - w])
+
+    prob["equality"] = [eq_1] + prob["equality"][1:]
+    prob["parameters"] = [np.zeros(2 * NQ)] + [np.zeros(0)] * (horizon - 1)
+    return prob

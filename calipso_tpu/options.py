@@ -4,6 +4,18 @@ Mirrors the reference's `Options` kwdef struct (reference
 src/solver/options.jl:6-59) as a frozen, hashable dataclass so it can be a
 static argument to `jax.jit`: every field is trace-time constant, so loop
 bounds and tolerances bake into the compiled program.
+
+Reference fields that are Julia-implementation artifacts and deliberately
+have no counterpart here:
+- ``codegen_threads`` / ``codegen_checkbounds`` (options.jl:51-52):
+  Symbolics.jl codegen tuning; derivative "codegen" here is jax autodiff
+  under jit, always compiled and parallelized by XLA.
+- ``update_factorization`` (options.jl:43): QDLDL symbolic-pattern reuse;
+  the block-structured factorizations here have static shapes, so every
+  factorization is the fast path.
+- ``callback_inner`` / ``callback_outer`` (options.jl:55-56): callbacks
+  cannot be static jit arguments; install them via ``Solver.callbacks()``
+  (solver/api.py) instead.
 """
 
 import dataclasses
