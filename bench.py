@@ -3,16 +3,26 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The reference repo publishes no performance numbers (BASELINE.md: "no
-benchmarks directory, no timing tables"), and Julia is not present in this
-image, so vs_baseline is reported against a pinned nominal value
-(NOMINAL_SOLVES_PER_S below) representing a single-threaded CPU solver
-solving the same pendulum problems sequentially; update when a real
-reference measurement exists.
+All problems run at the reference acceptance contract (1e-4 tolerances,
+reference src/solver/options.jl:25-29 + test/solver/wachter.jl:35-46).
+
+vs_baseline is MEASURED fresh each run (BASELINE.md requirement): a
+subprocess solves the same pendulum family sequentially, one problem at a
+time, on the host CPU in f64 -- the reference solver's operating mode
+(single-process CPU, SURVEY.md section 2.4; Julia is not in this image, so
+the repo's own CPU path is the documented proxy). vs_baseline =
+batched-accelerator solves/s / sequential-CPU solves/s.
+
+MFU: the per-iteration KKT factorization flops are computed analytically
+(block-tridiagonal Cholesky: ~8/3 * d^3 flops/stage/lane) and divided by
+the chip's peak; for stage dims this small the batch is VPU/HBM-bound,
+not MXU-bound, so the MFU is reported as a roofline statement, not a
+target (see README).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -22,20 +32,35 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# nominal sequential-CPU throughput for the pendulum problem family
-# (placeholder baseline; see module docstring)
-NOMINAL_SOLVES_PER_S = 10.0
-
 # B=2048 is the measured throughput sweet spot on one v5e chip (solves/s
 # keeps rising 256 -> 2048 and flattens after; see README benchmark table)
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 HORIZON = int(os.environ.get("BENCH_HORIZON", "11"))
+TOL = float(os.environ.get("BENCH_TOL", "1e-4"))
+
+# bf16 MXU peak per chip; MFU is conventionally stated against this
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,  # v6e
+}
 
 
-def build():
-    from calipso_tpu import TrajOptSolver, Options
-    from calipso_tpu.solver.api import solve_fn
+def _tol_options(**kw):
+    from calipso_tpu import Options
 
+    return Options(
+        residual_tolerance=TOL,
+        optimality_tolerance=TOL,
+        slack_tolerance=TOL,
+        equality_tolerance=TOL,
+        complementarity_tolerance=TOL,
+        iterative_refinement_tolerance=1e-6,
+        **kw,
+    )
+
+
+def _pendulum_family(H):
     def pend_c(x, u):
         return jnp.array(
             [x[1], u[0] / 0.25 - 9.81 * jnp.sin(x[0]) / 0.5 - 0.1 * x[1] / 0.25]
@@ -44,7 +69,6 @@ def build():
     def pend_d(y, x, u):
         return y - (x + 0.05 * pend_c(0.5 * (x + y), u))
 
-    H = HORIZON
     xg = jnp.array([np.pi, 0.0])
     objective = [
         *[(lambda x, u, w: 0.1 * x @ x + 0.1 * u @ u)] * (H - 1),
@@ -55,14 +79,14 @@ def build():
         *[None] * (H - 2),
         lambda x, u, w: x - xg,
     ]
-    opts = Options(
-        residual_tolerance=1e-3,
-        optimality_tolerance=1e-3,
-        slack_tolerance=1e-3,
-        equality_tolerance=1e-3,
-        complementarity_tolerance=1e-3,
-        iterative_refinement_tolerance=1e-6,
-    )
+    return objective, pend_d, equality, xg
+
+
+def build():
+    from calipso_tpu import TrajOptSolver
+
+    H = HORIZON
+    objective, pend_d, equality, xg = _pendulum_family(H)
     ts = TrajOptSolver(
         objective,
         [pend_d] * (H - 1),
@@ -70,19 +94,66 @@ def build():
         [1] * (H - 1),
         equality=equality,
         parameters=[np.zeros(2)] + [np.zeros(0)] * (H - 1),
-        options=opts,
+        options=_tol_options(),
     )
-    run = solve_fn(ts.solver.fns, ts.solver.layout, ts.solver.options)
-
     # shared swing-up guess, scenario-specific initial state
-    guess = np.zeros(ts.num_variables)
-    for t, idx in enumerate(ts._state_indices):
-        guess[idx] = np.asarray(xg) * t / (H - 1)
+    ts.initialize_states([np.asarray(xg) * t / (H - 1) for t in range(H)])
+    bts = ts.batched()
+    stage_dims = [nx + nu for nx, nu in zip(ts.num_states, ts.num_actions)]
+    return bts, stage_dims
 
-    def solve_batch(x0s):
-        return jax.vmap(lambda th: run(jnp.asarray(guess, x0s.dtype), th))(x0s)
 
-    return jax.jit(solve_batch)
+_BASELINE_SNIPPET = r"""
+import os, sys, time, json
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import numpy as np, jax.numpy as jnp
+import bench
+bench.TOL = {tol}
+from calipso_tpu import TrajOptSolver
+H = {horizon}
+objective, pend_d, equality, xg = bench._pendulum_family(H)
+ts = TrajOptSolver(objective, [pend_d] * (H - 1), [2] * H, [1] * (H - 1),
+                   equality=equality,
+                   parameters=[np.zeros(2)] + [np.zeros(0)] * (H - 1),
+                   options=bench._tol_options())
+ts.initialize_states([np.asarray(xg) * t / (H - 1) for t in range(H)])
+rng = np.random.default_rng(0)
+x0s = 0.2 * rng.normal(size=({k} + 1, 2))
+r = ts.solve(parameters=jnp.asarray(x0s[0]))  # compile
+jax.block_until_ready(r.state.p.x)
+solved, t0 = 0, time.time()
+for i in range(1, {k} + 1):
+    r = ts.solve(parameters=jnp.asarray(x0s[i]))
+    jax.block_until_ready(r.state.p.x)
+    solved += int(r.solved)
+dt = time.time() - t0
+print(json.dumps({{"cpu_sequential_solves_per_s": {k} / dt,
+                   "cpu_sequential_solved": solved, "cpu_k": {k}}}))
+"""
+
+
+def measure_cpu_baseline(k=16):
+    """Sequential one-at-a-time CPU f64 solves of the same problem family
+    in a subprocess (fresh measurement; see module docstring)."""
+    code = _BASELINE_SNIPPET.format(
+        repo=os.path.dirname(os.path.abspath(__file__)),
+        horizon=HORIZON,
+        tol=TOL,
+        k=k,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
 def bench_rocket101():
@@ -90,7 +161,7 @@ def bench_rocket101():
     903 vars + 100 SOCs) on the cyclic-reduction backend, f32 (cr beats the
     Riccati sweep 1.5x at T=101 and 2x at T=301 for single solves on a
     v5e; riccati stays the batched-vmap winner)."""
-    from calipso_tpu import TrajOptSolver, Options
+    from calipso_tpu import TrajOptSolver
     from calipso_tpu.models import rocket
 
     prob = rocket.landing_problem(horizon=101)
@@ -99,19 +170,10 @@ def bench_rocket101():
         for k, v in prob.items()
         if k not in ("state_guess", "state_initial", "state_goal")
     }
-    opts = Options(
-        residual_tolerance=1e-3,
-        optimality_tolerance=1e-3,
-        slack_tolerance=1e-3,
-        equality_tolerance=1e-3,
-        complementarity_tolerance=1e-3,
-        iterative_refinement_tolerance=1e-6,
-        # two refinement trips fully absorb the f32 CR solve error at this
-        # tolerance (identical iteration count and final residual as the
-        # default cap of 10; ~25% faster end to end)
-        max_iterative_refinement=2,
-        linear_solver="cr",
-    )
+    # two refinement trips fully absorb the f32 CR solve error at this
+    # tolerance (identical iteration count and final residual as the
+    # default cap of 10; ~25% faster end to end)
+    opts = _tol_options(max_iterative_refinement=2, linear_solver="cr")
     ts = TrajOptSolver(options=opts, **kw)
     guess = np.zeros(ts.num_variables, dtype=np.float32)
     for t, idx in enumerate(ts._state_indices):
@@ -143,10 +205,10 @@ def bench_rocket101():
 
 def bench_hopper_gait():
     """Contact-implicit hopper gait T=21 (SOC friction, impact
-    complementarity, gait periodicity + travel) -- the reference's
-    hardest-in-CI example family (test/examples/hopper_gait.jl), single
-    solve on the accelerator, f32."""
-    from calipso_tpu import TrajOptSolver, Options
+    complementarity, gait periodicity + travel through equality_general on
+    the riccati low-rank border) -- the reference's hardest-in-CI example
+    family (test/examples/hopper_gait.jl), single solve, f32."""
+    from calipso_tpu import TrajOptSolver
     from calipso_tpu.models import hopper
 
     prob = hopper.gait_problem()
@@ -156,15 +218,7 @@ def bench_hopper_gait():
         if k
         not in ("state_guess", "state_initial", "state_goal", "action_guess", "penalty_initial")
     }
-    opts = Options(
-        residual_tolerance=1e-3,
-        optimality_tolerance=1e-3,
-        slack_tolerance=1e-3,
-        equality_tolerance=1e-3,
-        complementarity_tolerance=1e-3,
-        iterative_refinement_tolerance=1e-6,
-    )
-    ts = TrajOptSolver(options=opts, **kw)
+    ts = TrajOptSolver(options=_tol_options(), **kw)
     ts.initialize_states([np.asarray(s, np.float32) for s in prob["state_guess"]])
     if "action_guess" in prob:
         ts.initialize_actions([np.asarray(a, np.float32) for a in prob["action_guess"]])
@@ -178,17 +232,18 @@ def bench_hopper_gait():
         "hopper_gait_solved": bool(r.solved),
         "hopper_gait_iterations": int(r.iterations),
         "hopper_gait_solve_s": round(dt, 3),
+        "hopper_gait_backend": ts.solver.options.linear_solver,
     }
 
 
 def main():
-    solve_batch = build()
+    bts, stage_dims = build()
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
 
     # warmup / compile
     t0 = time.time()
-    res = solve_batch(x0s)
+    res = bts.solve(parameters=x0s)
     jax.block_until_ready(res.state.p.x)
     compile_s = time.time() - t0
 
@@ -199,19 +254,38 @@ def main():
     t0 = time.time()
     for r in range(reps):
         x0s_r = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
-        res = solve_batch(x0s_r)
+        res = bts.solve(parameters=x0s_r)
         jax.block_until_ready(res.state.p.x)
     dt = (time.time() - t0) / reps
 
     solves_per_s = BATCH / dt
+
+    # analytic KKT-factorization flop rate + MFU (lower bound: one
+    # factorization per inner iteration; the inertia ladder re-factorizes
+    # on regularization bumps, which are not counted)
+    fact_flops_per_lane = sum((8.0 / 3.0) * d**3 for d in stage_dims)
+    kkt_flops_per_s = iters / dt * fact_flops_per_lane
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
     extra = {
         "solved": n_solved,
         "batch": BATCH,
+        "tolerance": TOL,
         "total_inner_iterations": iters,
         "kkt_factorizations_per_s_lower_bound": round(iters / dt, 1),
+        "kkt_factorization_gflops_per_s": round(kkt_flops_per_s / 1e9, 3),
+        "mfu_vs_bf16_peak": (
+            round(kkt_flops_per_s / peak, 9) if peak else None
+        ),
+        "device_kind": kind,
         "compile_s": round(compile_s, 1),
         "per_batch_wall_s": round(dt, 3),
     }
+    try:
+        if os.environ.get("BENCH_SKIP_BASELINE", "0") != "1":
+            extra.update(measure_cpu_baseline())
+    except Exception as e:
+        extra["cpu_baseline_error"] = repr(e)[:200]
     try:
         if os.environ.get("BENCH_SKIP_ROCKET", "0") != "1":
             extra.update(bench_rocket101())
@@ -223,14 +297,17 @@ def main():
     except Exception as e:
         extra["hopper_gait_error"] = repr(e)[:200]
 
+    base = extra.get("cpu_sequential_solves_per_s")
     print(
         json.dumps(
             {
                 "metric": f"batched pendulum trajopt solves/s (T={HORIZON}, B={BATCH}, "
-                f"{jax.devices()[0].platform})",
+                f"tol={TOL:g}, {jax.devices()[0].platform})",
                 "value": round(solves_per_s, 3),
                 "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / NOMINAL_SOLVES_PER_S, 3),
+                "vs_baseline": (
+                    round(solves_per_s / base, 3) if base else None
+                ),
                 "extra": extra,
             }
         )

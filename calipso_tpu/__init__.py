@@ -29,7 +29,7 @@ from calipso_tpu.trajopt.api import (
     Constraint,
     linear_interpolation,
 )
-from calipso_tpu.parallel.batch import BatchedSolver
+from calipso_tpu.parallel.batch import BatchedSolver, BatchedTrajOptSolver
 
 __all__ = [
     "Options",
@@ -44,6 +44,7 @@ __all__ = [
     "Constraint",
     "linear_interpolation",
     "BatchedSolver",
+    "BatchedTrajOptSolver",
 ]
 
 __version__ = "0.1.0"

@@ -11,8 +11,12 @@ Action u (14) = [controls(2); gamma(4); beta(4); eta(4)]:
   gamma  contact impulses, beta = (slack, force) friction pairs,
   eta    = (slack, tangential velocity) duals; |beta2| <= beta1 = mu*gamma
   enforced via 2-d SOCs on (beta, eta) pairs with beta o eta = 0.
-State: [q1; q2] at t=0 (8), then [q1; q2; gamma_prev(4); x_first(8)] (20)
--- the first-stage state is carried forward for the periodicity rows.
+State: [q1; q2] at t=0 (8), then [q1; q2; gamma_prev(4)] (12); the gait
+periodicity + travel rows couple the first and last stages through
+`equality_general`, handled by the structured KKT backends as a low-rank
+Schur border (the reference instead augments every stage's state with a
+carried copy of x_1, test/examples/hopper_gait.jl hopper_dyn1/dynt --
+available here as gait_problem(carry_first_state=True) for comparison).
 """
 
 import numpy as np
@@ -103,12 +107,17 @@ def _dyn_core(y, x, u):
     )
 
 
-def dynamics_first(y, x, u):
+def dynamics(y, x, u):
+    # y carries [q2+, q3+, gamma]
+    return jnp.concatenate([_dyn_core(y, x, u), y[8:12] - u[2:6]])
+
+
+def dynamics_first_carried(y, x, u):
     # y carries [q2+, q3+, gamma, x_first(8)]
     return jnp.concatenate([_dyn_core(y, x, u), y[8:12] - u[2:6], y[12:20] - x])
 
 
-def dynamics_t(y, x, u):
+def dynamics_t_carried(y, x, u):
     return jnp.concatenate([_dyn_core(y, x, u), y[8:12] - u[2:6], y[12:20] - x[12:20]])
 
 
@@ -132,14 +141,15 @@ def friction_equality(x, u):
     return jnp.concatenate([fc, vc, socp])
 
 
-def gait_problem(horizon=21, travel=0.5):
+def gait_problem(horizon=21, travel=0.5, carry_first_state=False):
     q1 = np.array([0.0, 0.5 + FOOT_RADIUS, 0.0, 0.5])
     q_ref = np.array([0.5, 0.5 + FOOT_RADIUS, 0.0, 0.25])
     x1 = np.concatenate([q1, q1])
     x_ref = np.concatenate([q_ref, q_ref])
     r_cost, q_cost = 1.0e-1, 1.0e-1
 
-    num_states = [8] + [20] * (horizon - 1)
+    nx_t = 20 if carry_first_state else 12
+    num_states = [8] + [nx_t] * (horizon - 1)
     num_actions = [NU] * (horizon - 1)
 
     def obj1(x, u):
@@ -170,7 +180,7 @@ def gait_problem(horizon=21, travel=0.5):
         compl = x[8:12] * signed_distance(x[4:8])
         return jnp.concatenate([friction_equality(x, u), compl])
 
-    def eq_T(x, u):
+    def eq_T_carried(x, u):
         # periodicity in (z, angle, leg) for both configurations vs the
         # carried first state
         th = x[12:20]
@@ -179,7 +189,12 @@ def gait_problem(horizon=21, travel=0.5):
             [compl, x[1:4] - th[1:4], x[5:8] - th[5:8]]
         )
 
-    equality = [eq_1] + [eq_t] * (horizon - 2) + [eq_T]
+    def eq_T(x, u):
+        return x[8:12] * signed_distance(x[4:8])
+
+    equality = (
+        [eq_1] + [eq_t] * (horizon - 2) + [eq_T_carried if carry_first_state else eq_T]
+    )
 
     def ineq_1(x, u):
         return jnp.concatenate(
@@ -193,7 +208,7 @@ def gait_problem(horizon=21, travel=0.5):
 
     ineq_t = ineq_1
 
-    def ineq_T(x, u):
+    def ineq_T_carried(x, u):
         th = x[12:20]
         return jnp.concatenate(
             [
@@ -203,7 +218,19 @@ def gait_problem(horizon=21, travel=0.5):
             ]
         )
 
-    nonnegative = [ineq_1] + [ineq_t] * (horizon - 2) + [ineq_T]
+    def ineq_T(x, u):
+        # travel rows live in equality_general (coupled to the FIRST
+        # stage); only stage-local bounds remain here
+        return jnp.concatenate(
+            [
+                signed_distance(x[4:8]),
+                jnp.array([x[1], x[3], x[5], x[7], 1.0 - x[3], 1.0 - x[7]]),
+            ]
+        )
+
+    nonnegative = (
+        [ineq_1] + [ineq_t] * (horizon - 2) + [ineq_T_carried if carry_first_state else ineq_T]
+    )
 
     # 2-d SOC pairs (beta and eta per contact) per stage
     soc_stage = [
@@ -214,9 +241,34 @@ def gait_problem(horizon=21, travel=0.5):
     ]
     second_order = [soc_stage] * (horizon - 1) + [[]]
 
-    state_guess = [x1] + [
-        np.concatenate([x1, np.zeros(4), x1]) for _ in range(horizon - 1)
-    ]
+    if carry_first_state:
+        state_guess = [x1] + [
+            np.concatenate([x1, np.zeros(4), x1]) for _ in range(horizon - 1)
+        ]
+        dyn = [dynamics_first_carried] + [dynamics_t_carried] * (horizon - 2)
+        equality_general = None
+    else:
+        state_guess = [x1] + [
+            np.concatenate([x1, np.zeros(4)]) for _ in range(horizon - 1)
+        ]
+        dyn = [dynamics] * (horizon - 1)
+
+        def equality_general(z, theta):
+            # periodicity in (z, angle, leg) for both configurations plus
+            # the travel distance, coupling the first and last stages
+            # (reference eq_T periodicity rows + the travel inequality,
+            # here exact: x_T = x_1 + travel in the body/foot x-positions)
+            x_first = z[0:8]
+            x_last = z[z.shape[0] - 12 : z.shape[0] - 4]
+            return jnp.concatenate(
+                [
+                    x_last[1:4] - x_first[1:4],
+                    x_last[5:8] - x_first[5:8],
+                    x_last[0:1] - x_first[0:1] - travel,
+                    x_last[4:5] - x_first[4:5] - travel,
+                ]
+            )
+
     action_guess = [
         np.concatenate(
             [[0.0, GRAVITY * MASS_BODY * 0.5 * TIMESTEP], 1.0e-1 * np.ones(NU - 2)]
@@ -226,10 +278,11 @@ def gait_problem(horizon=21, travel=0.5):
 
     return dict(
         objective=objective,
-        dynamics=[dynamics_first] + [dynamics_t] * (horizon - 2),
+        dynamics=dyn,
         num_states=num_states,
         num_actions=num_actions,
         equality=equality,
+        equality_general=equality_general,
         nonnegative=nonnegative,
         second_order=second_order,
         state_guess=state_guess,

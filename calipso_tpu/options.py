@@ -47,6 +47,19 @@ class Options:
     max_iterative_refinement: int = 10
     min_iterative_refinement: int = 1
     iterative_refinement_tolerance: float = 1.0e-10
+    # when iterative refinement DIVERGES (its correction chain amplifies
+    # the error -- a factorization with no usable digits), re-solve the
+    # step on the full 6-block system with dense LU and take it if
+    # measurably better (reference search_direction.jl:22,
+    # iterative_refinement.jl:50-53). Off by default: measured on f32
+    # ill-scaled problems, the refined condensed step is consistently the
+    # stronger one (a pure-LU solve stalls where schur+refinement
+    # converges), so the escalation only pays on problems where the
+    # condensed Cholesky is catastrophically worse-conditioned than the
+    # full system. Under vmap the fallback branch is evaluated for every
+    # lane (XLA select semantics) -- keep off for throughput-critical
+    # batched solves.
+    refinement_fallback: bool = False
 
     # central path / interior point (reference options.jl:18-21,:39)
     central_path_initial: float = 1.0

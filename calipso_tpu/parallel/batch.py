@@ -69,3 +69,82 @@ class BatchedSolver:
             x0_batch = jax.device_put(x0_batch, sharding)
             theta_batch = jax.device_put(theta_batch, sharding)
         return self._batched(x0_batch, theta_batch)
+
+
+class BatchedTrajOptSolver:
+    """vmap/shard whole trajopt solves over a scenario batch -- the
+    flagship TPU workload (one XLA program runs B independent AL-IPM
+    solves in lockstep; a mesh spreads the batch over chips with nothing
+    to communicate during the solves).
+
+    Built from a configured TrajOptSolver via `ts.batched()`:
+
+        bts = ts.batched()
+        res = bts.solve(parameters=theta_batch)                 # one chip
+        res = bts.solve(parameters=theta_batch, mesh=mesh)      # sharded
+        res = bts.solve(parameters=theta_batch, warm=res.state.p)  # MPC carry
+
+    Scenario variation enters through per-stage `parameters` (the
+    reference's per-stage parameter vectors, solver.jl:77) and/or
+    per-lane initial guesses."""
+
+    def __init__(self, ts):
+        solver = ts.solver
+        self._ts = ts
+        self.fns, self.layout = solver.fns, solver.layout
+        self.options = solver.options
+        run = solve_fn(self.fns, self.layout, self.options)
+        self._batched = jax.jit(jax.vmap(lambda x0, th: run(x0, th)))
+        self._batched_warm = jax.jit(jax.vmap(lambda x0, th, w: run(x0, th, w)))
+
+    def _batch_size(self, parameters, guess):
+        for a in (parameters, guess):
+            if a is not None and jnp.ndim(a) == 2:
+                return a.shape[0]
+        raise ValueError(
+            "cannot infer batch size: pass a batched `parameters` (B, p) "
+            "or a batched `guess` (B, n)"
+        )
+
+    def solve(
+        self,
+        parameters=None,
+        guess=None,
+        warm=None,
+        mesh: Optional[Mesh] = None,
+        axis: str = "batch",
+    ) -> SolveResult:
+        """Solve B scenarios. `parameters`: (B, p) flat per-stage parameter
+        rows (or None for a parameterless problem). `guess`: (B, n) or (n,)
+        or None (the TrajOptSolver's initialize_states/actions guess,
+        broadcast). `warm`: a batched primal-dual Blocks pytree from a
+        previous batched solve (warmstart carry for MPC loops). `mesh`:
+        shard the batch axis over devices."""
+        if parameters is not None:
+            parameters = jnp.asarray(parameters)
+        if guess is None:
+            g = getattr(self._ts, "_guess", None)
+            if g is None:
+                raise ValueError(
+                    "no initial guess: call initialize_states/actions or pass guess"
+                )
+            guess = jnp.asarray(g)
+        else:
+            guess = jnp.asarray(guess)
+        B = self._batch_size(parameters, guess)
+        dtype = guess.dtype if parameters is None else jnp.result_type(parameters, guess)
+        if guess.ndim == 1:
+            guess = jnp.broadcast_to(guess, (B,) + guess.shape)
+        guess = guess.astype(dtype)
+        if parameters is None:
+            parameters = jnp.zeros((B, self.fns.dims.parameters), dtype)
+        parameters = parameters.astype(dtype)
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P(axis))
+            guess = jax.device_put(guess, sharding)
+            parameters = jax.device_put(parameters, sharding)
+            if warm is not None:
+                warm = jax.tree.map(lambda a: jax.device_put(a, sharding), warm)
+        if warm is not None:
+            return self._batched_warm(guess, parameters, warm)
+        return self._batched(guess, parameters)

@@ -188,13 +188,19 @@ class Factorization(NamedTuple):
                  finite (inertia(K) = inertia(-C) + inertia(S), C PD).
     * "riccati": same S in stage-block tridiagonal form, factorized by a
                  lax.scan block-Cholesky sweep (ops/riccati.py); O(T d^3)
-                 per factorization. Trajopt only (needs stage structure;
-                 no equality_general).
+                 per factorization. Trajopt only (needs stage structure).
+                 General-equality rows (gait periodicity etc., reference
+                 equality_general.jl:29-113) are handled as a low-rank
+                 Schur-complement border: S = S_band + Jg' Jg / c_eq with
+                 Jg the r_g dense coupling rows, solved by Woodbury
+                 through r_g extra banded solves (SURVEY.md section 7
+                 step 7).
     * "cr":      same stage-block tridiagonal S, factorized by parallel
                  block cyclic reduction (ops/cyclic_reduction.py):
                  O(log T) sequential depth, every level a batched
                  Cholesky/matmul over all odd stages -- the
-                 parallel-in-time backend for long horizons. Trajopt only.
+                 parallel-in-time backend for long horizons. Trajopt
+                 only; same low-rank border for equality_general.
     * "lu":      steps from dense LU of the full 6-block system
                  (lu_solve_full); the ladder still runs on "schur".
     """
@@ -211,11 +217,86 @@ class Factorization(NamedTuple):
     eps_d: jnp.ndarray
     # cr: (levels, L_final) from ops/cyclic_reduction.factor; () otherwise
     cr: tuple = ()
+    # low-rank general-equality border (riccati/cr with equality_general,
+    # see _general_border): Wg = S_bd^{-1} V (n, k*r_g), (Lc, dc) =
+    # (eigenvectors, eigenvalues) of the indefinite capacitance
+    # C = Kx^{-1} + V' S_bd^{-1} V (eigh: C is tiny and saddle-structured,
+    # so unpivoted LDL^T would hit zero pivots)
+    Wg: jnp.ndarray = None
+    Lc: jnp.ndarray = None
+    dc: jnp.ndarray = None
 
 
 def _ceq(fact):
     """Diagonal of the condensed equality block (positive)."""
     return 1.0 / (fact.rho + fact.eps_p) + fact.eps_d
+
+
+def _banded_solve_multi(structure, method, L, M, cr, B):
+    """Apply S_band^{-1} to columns of B (n, k) through the stage-block
+    tridiagonal factorization of the chosen backend."""
+    if method == "riccati":
+        from calipso_tpu.ops import riccati as rc
+
+        Bb = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(B)
+        X = rc.solve_multi(L, M, Bb)
+    else:
+        from calipso_tpu.ops import cyclic_reduction as crd
+
+        Bb = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(B)
+        X = crd.solve_multi(cr, Bb)
+    return jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
+
+
+def _border_V(structure, gx):
+    """Stage-split border columns for the general-equality rows.
+
+    The r_g general rows Jg (last rows of gx, dense over the whole
+    trajectory -- reference equality_general.jl:29-113) touch the k =
+    len(general_stages) stages detected at construction. Splitting
+    Jg' = sum_t V_t with V_t = Jg' masked to stage t's variable rows,
+
+        Jg' Jg = sum_t V_t V_t'  +  sum_{t != t'} V_t V_t'
+
+    The first (block-diagonal) part is PSD and banded -- it is folded into
+    the stage blocks by _riccati_blocks. The cross part is the low-rank
+    border V Kx V' with V = [V_1 .. V_k] (n, k*r_g) and
+    Kx = ((11' - I) kron I_rg) / c_eq, returned here as V."""
+    rg = structure.num_general
+    n = gx.shape[1]
+    JgT = gx[gx.shape[0] - rg :].T  # (n, rg)
+    cols = []
+    for t in structure.general_stages:
+        lo = structure.col_starts[t]
+        hi = lo + structure.col_dims[t]
+        mask = jnp.zeros((n, 1), gx.dtype).at[lo:hi].set(1.0)
+        cols.append(JgT * mask)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _general_border(structure, method, L, M, cr, gx, rho, eps_p, eps_d):
+    """Border factorization for S = S_bd + V Kx V' (see _border_V; S_bd is
+    the banded part including the folded block-diagonal of Jg'Jg/c_eq).
+
+    Woodbury with the indefinite core Kx:
+      S^{-1} b = S_bd^{-1} b - Wg C^{-1} V' S_bd^{-1} b,
+      Wg = S_bd^{-1} V,  C = Kx^{-1} + V' Wg,
+    with C factorized by dense LDL^T (it is indefinite by design). By
+    Haynsworth, S is PD iff S_bd is PD and inertia(C) = (r_g, (k-1) r_g, 0)
+    -- the exact structured-backend replacement for QDLDL's sign(D)
+    inertia readout (reference linear_solver.jl:33-44)."""
+    rg = structure.num_general
+    k = len(structure.general_stages)
+    ceq = 1.0 / (rho + eps_p) + eps_d
+    V = _border_V(structure, gx)
+    Wg = _banded_solve_multi(structure, method, L, M, cr, V)
+    # Kx^{-1} = c_eq * ((11'-I)^{-1} kron I_rg), (11'-I)^{-1} = J/(k-1) - I
+    Jk = jnp.ones((k, k), gx.dtype) / (k - 1) - jnp.eye(k, dtype=gx.dtype)
+    Kx_inv = ceq * jnp.kron(Jk, jnp.eye(rg, dtype=gx.dtype))
+    C = Kx_inv + V.T @ Wg
+    C = 0.5 * (C + C.T)
+    dc, Lc = jnp.linalg.eigh(C)
+    return Wg, Lc, dc
 
 
 def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl", structure=None):
@@ -233,14 +314,24 @@ def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl", struct
         from calipso_tpu.ops import riccati as rc
 
         L, M = rc.factor_cv(D, O)
-        return Factorization(L, e0, M, gx, hx, s, t, rho, eps_p, eps_d)
+        Wg = Lc = dc = None
+        if structure.num_general and len(structure.general_stages) >= 2:
+            Wg, Lc, dc = _general_border(structure, method, L, M, (), gx, rho, eps_p, eps_d)
+        return Factorization(L, e0, M, gx, hx, s, t, rho, eps_p, eps_d, Wg=Wg, Lc=Lc, dc=dc)
     if method == "cr":
         assert structure is not None, "cr backend needs trajopt stage structure"
         D, O = _riccati_blocks(layout, structure, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
         from calipso_tpu.ops import cyclic_reduction as crd
 
         fact_cr = crd.factor(D, O)
-        return Factorization(e3, e0, e3, gx, hx, s, t, rho, eps_p, eps_d, fact_cr)
+        Wg = Lc = dc = None
+        if structure.num_general and len(structure.general_stages) >= 2:
+            Wg, Lc, dc = _general_border(
+                structure, method, e3, e3, fact_cr, gx, rho, eps_p, eps_d
+            )
+        return Factorization(
+            e3, e0, e3, gx, hx, s, t, rho, eps_p, eps_d, fact_cr, Wg=Wg, Lc=Lc, dc=dc
+        )
     assert method == "schur", method
     n = Hxx.shape[0]
     ceq = 1.0 / (rho + eps_p) + eps_d
@@ -309,6 +400,17 @@ def _riccati_blocks(layout, st, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
             D = D.at[t_idx + 1].add(jnp.einsum("grw,grv->gwv", J2, J2) / ceq)
             O = O.at[t_idx].add(jnp.einsum("grw,grv->gwv", J2, J1) / ceq)
 
+    # block-diagonal fold of the general-equality Gram Jg'Jg/c_eq (the
+    # banded, PSD part of the border split -- see _border_V): keeps the
+    # boundary-condition curvature in the band so the inertia ladder does
+    # not over-regularize
+    rg = st.num_general
+    if rg and st.general_stages:
+        Jgp = jnp.pad(gx[gx.shape[0] - rg :], ((0, 0), (0, 1)))
+        tg_idx = jnp.asarray(np.array(st.general_stages))
+        G = Jgp[:, blk[tg_idx]]  # (rg, k, dmax)
+        D = D.at[tg_idx].add(jnp.einsum("rkw,rkv->kwv", G, G) / ceq)
+
     if hx.shape[0]:
         hxp = jnp.pad(hx, ((0, 0), (0, 1)))
         Chxp = jnp.pad(Chx, ((0, 0), (0, 1)))
@@ -330,25 +432,80 @@ def _riccati_blocks(layout, st, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
     return D, O
 
 
-def inertia_ok(fact: Factorization, n, me, mc, method="ldl"):
+def _apply_border(fact: Factorization, structure, dx):
+    """Woodbury correction for the general-equality border:
+    dx <- dx - Wg C^{-1} V' dx (no-op without a border)."""
+    if fact.Wg is None:
+        return dx
+    V = _border_V(structure, fact.gx)
+    w = fact.Lc.T @ (V.T @ dx)
+    w = w / (fact.dc[:, None] if w.ndim == 2 else fact.dc)
+    return dx - fact.Wg @ (fact.Lc @ w)
+
+
+def _border_inertia_ok(fact: Factorization, structure):
+    """Border part of the inertia test: inertia(C) = (r_g, (k-1) r_g, 0)
+    (Haynsworth; see _general_border). Eigenvalues within a dtype-scaled
+    band of zero count as zero eigenvalues."""
+    if fact.Lc is None:
+        return jnp.asarray(True)
+    rg = structure.num_general
+    k = len(structure.general_stages)
+    tol = jnp.finfo(fact.dc.dtype).eps ** 0.75 * jnp.max(jnp.abs(fact.dc))
+    pos = jnp.sum(fact.dc > tol)
+    neg = jnp.sum(fact.dc < -tol)
+    return (pos == rg) & (neg == (k - 1) * rg)
+
+
+def inertia_ok(fact: Factorization, n, me, mc, method="ldl", structure=None):
     """Target inertia (n positive, m_e+m_c negative, 0 zero) -- reference
     inertia.jl:7-11. The schur/riccati backends read it off Cholesky
-    success."""
+    success, plus the border capacitance inertia when a general-equality
+    border is present."""
     if method == "cr":
         from calipso_tpu.ops import cyclic_reduction as crd
 
-        return crd.factors_finite(fact.cr)
-    if method in ("schur", "riccati"):
+        return crd.factors_finite(fact.cr) & _border_inertia_ok(fact, structure)
+    if method == "riccati":
+        return jnp.all(jnp.isfinite(fact.L)) & _border_inertia_ok(fact, structure)
+    if method == "schur":
         return jnp.all(jnp.isfinite(fact.L))
     pos, neg, zero = inertia_counts(fact.d)
     return (pos == n) & (neg == me + mc) & (zero == 0)
 
 
-def num_zero_eigs(fact: Factorization, method="ldl"):
-    """Zero-eigenvalue count for the IC-2 rank-deficiency branch; the schur
-    backend cannot distinguish it (returns 0)."""
-    if method in ("schur", "cr"):
-        return jnp.zeros((), jnp.int32)
+def _tiny_pivots(diags):
+    """Count Cholesky pivots below a dtype-scaled relative threshold --
+    the rank-deficiency signal of the Cholesky backends (QDLDL reads the
+    same thing off sign(D) = 0, reference linear_solver.jl:33-44). NaN/Inf
+    pivots (failed factorization) do not count: the inertia ladder handles
+    those through inertia_ok instead."""
+    a = jnp.abs(diags)
+    finite = jnp.isfinite(a)
+    amax = jnp.max(jnp.where(finite, a, 0.0))
+    thr = jnp.asarray(jnp.finfo(diags.dtype).eps, diags.dtype) ** 0.75 * amax
+    return jnp.sum(finite & (a <= thr)).astype(jnp.int32)
+
+
+def num_zero_eigs(fact: Factorization, method="ldl", structure=None):
+    """Zero-eigenvalue count for the IC-2 rank-deficiency branch
+    (reference inertia.jl:41-47). ldl reads it exactly from sign(D); the
+    Cholesky backends (schur/riccati/cr) detect near-rank-deficiency as
+    pivots that collapsed below a dtype-scaled threshold."""
+    if method == "schur":
+        return _tiny_pivots(jnp.diagonal(fact.L))
+    if method == "riccati":
+        diags = jnp.diagonal(fact.L, axis1=-2, axis2=-1)  # (T, dmax)
+        if structure is not None:
+            # exclude the padded unit pivots of ragged stages
+            pad = jnp.asarray(structure.blk_idx == structure.num_variables)
+            diags = jnp.where(pad, jnp.nan, diags)
+        return _tiny_pivots(diags)
+    if method == "cr":
+        levels, L_final = fact.cr
+        diags = [jnp.diagonal(L, axis1=-2, axis2=-1).reshape(-1) for L, _, _ in levels]
+        diags.append(jnp.diagonal(L_final))
+        return _tiny_pivots(jnp.concatenate(diags))
     _, _, zero = inertia_counts(fact.d)
     return zero.astype(jnp.int32)
 
@@ -379,6 +536,7 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structu
             B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
             X = rc.solve_multi(fact.L, fact.M, B)
             dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
+        dx = _apply_border(fact, structure, dx)
     elif method == "cr":
         from calipso_tpu.ops import cyclic_reduction as crd
 
@@ -388,6 +546,7 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structu
             B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
             X = crd.solve_multi(fact.cr, B)
             dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
+        dx = _apply_border(fact, structure, dx)
     else:
         b = rhs_x[:, None] if vec else rhs_x
         y = jax.scipy.linalg.solve_triangular(fact.L, b, lower=True)

@@ -27,8 +27,9 @@ import numpy as np
 
 def empty_constraint(x, theta=None):
     """No-op constraint (reference src/trajectory_optimization/
-    utilities: empty_constraint)."""
-    return jnp.zeros((0,), jnp.result_type(float))
+    utilities: empty_constraint). Follows x's dtype so f32 solves stay
+    f32 even with x64 enabled."""
+    return jnp.zeros((0,), jnp.asarray(x).dtype)
 
 
 def _normalize(fn: Callable) -> Callable:

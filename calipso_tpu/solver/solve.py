@@ -33,8 +33,8 @@ BIG = 1.0e8  # empty-filter sentinel (reference filter.jl:8-13)
 
 
 def resolve_options(opts, fns):
-    """Resolve linear_solver='auto': riccati for trajopt problems without
-    general equality constraints, dense Schur otherwise."""
+    """Resolve linear_solver='auto': riccati for trajopt problems (general
+    equality rows ride the low-rank border), dense Schur otherwise."""
     if opts.line_search_mode == "auto":
         opts = opts.replace(
             line_search_mode=(
@@ -45,9 +45,7 @@ def resolve_options(opts, fns):
         return opts
     structure = getattr(fns, "stage_structure", None)
     return opts.replace(
-        linear_solver=(
-            "riccati" if structure is not None and not structure.has_general else "schur"
-        )
+        linear_solver="riccati" if structure is not None else "schur"
     )
 
 
@@ -75,6 +73,9 @@ class State(NamedTuple):
     equality_violation: jnp.ndarray
     cone_product_violation: jnp.ndarray
     step_size: jnp.ndarray
+    # steps that escalated to the full-system LU after refinement failure
+    # (reference search_direction.jl:22)
+    num_fallbacks: jnp.ndarray
 
 
 # ---- filter (reference filter.jl:43-89) -------------------------------------
@@ -119,6 +120,75 @@ def sufficient_progress(v, v_cand, m, m_cand, v_tol, m_tol, mach_tol):
     )
 
 
+# ---- iterative refinement (reference iterative_refinement.jl:1-53) ----------
+
+
+def refine_step(opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact, s, t, rho):
+    """Iteratively refine a search direction on the exact (matrix-free)
+    6-block operator, with optional escalation to a full-system LU re-solve
+    on catastrophic refinement failure (reference iterative_refinement.jl
+    + search_direction.jl:22). Returns (step, fell_back)."""
+
+    def err_of(stp):
+        mv = kkt.matvec(layout, Hxx, gx, hx, s, t, rho, fact.eps_p, fact.eps_d, stp)
+        return Blocks(*(a - b for a, b in zip(res, mv)))
+
+    err0 = err_of(step)
+    en0 = inf_norm(err0.all)
+
+    def cond(c):
+        _, _, en, i, done = c
+        return (~done) & (i <= opts.max_iterative_refinement)
+
+    def body(c):
+        stp, err, en, i, _ = c
+        done_now = (en <= opts.iterative_refinement_tolerance) & (
+            i >= opts.min_iterative_refinement
+        )
+        corr = kkt.solve_with(layout, fact, err, n, me, mc, opts.linear_solver, structure)
+        stp2 = Blocks(*(jnp.where(done_now, a, a + b) for a, b in zip(stp, corr)))
+        err2 = err_of(stp2)
+        en2 = jnp.where(done_now, en, inf_norm(err2.all))
+        err2 = Blocks(*(jnp.where(done_now, a, b) for a, b in zip(err, err2)))
+        return stp2, err2, en2, i + (~done_now).astype(i.dtype), done_now
+
+    stp_f, _, en_f, _, _ = lax.while_loop(
+        cond, body, (step, err0, en0, jnp.zeros((), jnp.int32), jnp.asarray(False))
+    )
+    # guard: never return a step worse than the unrefined one
+    ok = en_f <= jnp.maximum(en0, opts.iterative_refinement_tolerance)
+    best = Blocks(*(jnp.where(ok, a, b) for a, b in zip(stp_f, step)))
+    if not opts.refinement_fallback:
+        return best, jnp.zeros((), jnp.int32)
+    # failure escalation (reference search_direction.jl:22): re-solve the
+    # step on the full nonsymmetric 6-block system with dense LU, gated on
+    # the refined step solving fewer than ~2 digits of the system relative
+    # to the residual scale -- a factorization with no usable digits.
+    # Tighter triggers (100*eps absolute, or sqrt(eps) relative) fire on
+    # the ordinary roundoff plateau of ill-scaled problems, where swapping
+    # in full-LU steps destabilizes the filter line search (measured: f32
+    # solves that converge without the fallback stall with it; see
+    # Options.refinement_fallback).
+    en_best = jnp.minimum(en_f, en0)
+    failed = en_best > 1.0e-2 * inf_norm(res.all)
+
+    def lu_fallback(_):
+        lu_step = kkt.lu_solve_full(
+            layout, Hxx, gx, hx, s, t, rho, fact.eps_p, fact.eps_d, res
+        )
+        en_lu = inf_norm(err_of(lu_step).all)
+        # swap only when the LU step is measurably better: an
+        # unconditionally-taken fallback step can be worse than the
+        # refined condensed one
+        better = en_lu < 0.5 * en_best
+        stp = Blocks(*(jnp.where(better, a, b) for a, b in zip(lu_step, best)))
+        return stp, better.astype(jnp.int32)
+
+    return lax.cond(
+        failed, lu_fallback, lambda _: (best, jnp.zeros((), jnp.int32)), None
+    )
+
+
 # ---- solver construction ----------------------------------------------------
 
 
@@ -138,10 +208,6 @@ def make_solve(fns, layout, opts, callbacks=None):
         if structure is None:
             raise ValueError(
                 f"linear_solver={opts.linear_solver!r} requires a trajopt problem (stage structure)"
-            )
-        if structure.has_general:
-            raise ValueError(
-                f"linear_solver={opts.linear_solver!r} does not support equality_general (dense coupling); use 'schur'"
             )
 
     def merit_value(f, r, barrier_val, kappa, lam, rho):
@@ -206,10 +272,10 @@ def make_solve(fns, layout, opts, callbacks=None):
         # reference likewise keeps QDLDL for inertia under :LU)
         method = "schur" if opts.linear_solver == "lu" else opts.linear_solver
         fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method, structure)
-        ok0 = kkt.inertia_ok(fact0, n, me, mc, method)
+        ok0 = kkt.inertia_ok(fact0, n, me, mc, method, structure)
 
         # IC-2: rank-deficiency -> dual regularization scaled by kappa
-        zero0 = kkt.num_zero_eigs(fact0, method)
+        zero0 = kkt.num_zero_eigs(fact0, method, structure)
         e_d1 = jnp.where(
             zero0 != 0,
             opts.dual_regularization * kappa**opts.dual_regularization_exponent,
@@ -234,7 +300,7 @@ def make_solve(fns, layout, opts, callbacks=None):
         def body(c):
             _, e_p, _, _ = c
             fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p, e_d1, method, structure)
-            ok = kkt.inertia_ok(fact, n, me, mc, method)
+            ok = kkt.inertia_ok(fact, n, me, mc, method, structure)
             e_p_next = jnp.where(ok, e_p, e_p * scale)  # IC-5
             failed = (~ok) & (e_p_next > max_reg)  # IC-6
             return fact, e_p_next, ok, failed
@@ -245,38 +311,10 @@ def make_solve(fns, layout, opts, callbacks=None):
         eps_p_last_new = jnp.where(ok0, eps_p_last, fact.eps_p)
         return fact, ic_failed, eps_p_last_new
 
-    # ---- iterative refinement (reference iterative_refinement.jl:1-53) ------
-
     def refine(step, res, Hxx, gx, hx, fact, s, t, rho):
-        def err_of(stp):
-            mv = kkt.matvec(layout, Hxx, gx, hx, s, t, rho, fact.eps_p, fact.eps_d, stp)
-            return Blocks(*(a - b for a, b in zip(res, mv)))
-
-        err0 = err_of(step)
-        en0 = inf_norm(err0.all)
-
-        def cond(c):
-            _, _, en, i, done = c
-            return (~done) & (i <= opts.max_iterative_refinement)
-
-        def body(c):
-            stp, err, en, i, _ = c
-            done_now = (en <= opts.iterative_refinement_tolerance) & (
-                i >= opts.min_iterative_refinement
-            )
-            corr = kkt.solve_with(layout, fact, err, n, me, mc, opts.linear_solver, structure)
-            stp2 = Blocks(*(jnp.where(done_now, a, a + b) for a, b in zip(stp, corr)))
-            err2 = err_of(stp2)
-            en2 = jnp.where(done_now, en, inf_norm(err2.all))
-            err2 = Blocks(*(jnp.where(done_now, a, b) for a, b in zip(err, err2)))
-            return stp2, err2, en2, i + (~done_now).astype(i.dtype), done_now
-
-        stp_f, _, en_f, _, _ = lax.while_loop(
-            cond, body, (step, err0, en0, jnp.zeros((), jnp.int32), jnp.asarray(False))
+        return refine_step(
+            opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact, s, t, rho
         )
-        # guard: never return a step worse than the unrefined one
-        ok = en_f <= jnp.maximum(en0, opts.iterative_refinement_tolerance)
-        return Blocks(*(jnp.where(ok, a, b) for a, b in zip(stp_f, step)))
 
     # ---- fraction-to-the-boundary cone search (reference solve.jl:193-221) --
 
@@ -343,6 +381,7 @@ def make_solve(fns, layout, opts, callbacks=None):
         )
 
         # search direction + refinement
+        fell_back = jnp.zeros((), jnp.int32)
         if opts.linear_solver == "lu":
             # exact full-system solve; refinement unnecessary
             step = kkt.lu_solve_full(
@@ -351,7 +390,7 @@ def make_solve(fns, layout, opts, callbacks=None):
         else:
             step = kkt.solve_with(layout, fact, res, n, me, mc, opts.linear_solver, structure)
             if opts.iterative_refinement:
-                step = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
+                step, fell_back = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
 
         # merit and its directional derivative (reference merit.jl:2-31)
         barrier_val = cones.barrier(layout, s)
@@ -477,6 +516,7 @@ def make_solve(fns, layout, opts, callbacks=None):
             inner_i=st.inner_i + 1,
             total_i=st.total_i + 1,
             step_size=alpha,
+            num_fallbacks=st.num_fallbacks + fell_back,
         )
 
     def inner_body(st, theta):
@@ -625,6 +665,7 @@ def make_solve(fns, layout, opts, callbacks=None):
             equality_violation=z0,
             cone_product_violation=z0,
             step_size=jnp.ones((), dtype),
+            num_fallbacks=i0,
         )
 
     def solve(x0, theta=None, warm: Optional[Blocks] = None) -> State:

@@ -33,12 +33,23 @@ class StageStructure:
         eq_spans: List[EqSpan],
         cone_spans: List[ConeSpan],
         has_general: bool,
+        num_general: int = 0,
+        general_stages: Tuple[int, ...] = (),
     ):
         self.col_starts = col_starts
         self.col_dims = col_dims
         self.eq_spans = eq_spans
         self.cone_spans = cone_spans
         self.has_general = has_general
+        # general-equality rows are the LAST num_general rows of the flat
+        # equality block (transcription ordering: dynamics, per-stage
+        # equality, general -- reference indices.jl); the structured
+        # backends treat them as a low-rank Schur-complement border.
+        # general_stages = the stages whose variables the general rows
+        # touch, detected at construction by random-point Jacobian probes
+        # (the reference fixes sparsity the same way, solver.jl:88-119).
+        self.num_general = int(num_general)
+        self.general_stages = tuple(int(t) for t in general_stages)
         self.horizon = len(col_dims)
         self.dmax = max(col_dims)
         n = col_starts[-1] + col_dims[-1]

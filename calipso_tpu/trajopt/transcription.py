@@ -347,6 +347,7 @@ class TrajOptSolver:
             row += rdim
         general_rows = None
         general = None
+        general_stages: list = []
         if self._eq_general is not None:
             rg = int(
                 np.prod(
@@ -360,6 +361,23 @@ class TrajOptSolver:
             general_rows = np.arange(row, row + rg)
             general = lambda z, th: jnp.asarray(self._eq_general(z, th)).reshape(-1)
             row += rg
+            # detect which stages the general rows touch: union of nonzero
+            # Jacobian columns over a few random probe points (the
+            # reference fixes sparsity at a random interior point the same
+            # way, solver.jl:88-119). Feeds the structured backends'
+            # fold + low-rank-border split.
+            rng_probe = np.random.default_rng(1234)
+            touched = np.zeros(self.num_variables, dtype=bool)
+            jac_g = jax.jacfwd(general)
+            for _ in range(3):
+                zp = jnp.asarray(rng_probe.normal(size=self.num_variables))
+                tp = jnp.asarray(rng_probe.normal(size=num_parameters))
+                touched |= np.any(np.asarray(jac_g(zp, tp)) != 0.0, axis=0)
+            for t in range(T):
+                lo = int(self._state_indices[t][0])
+                hi = lo + nxs[t] + nus[t]
+                if touched[lo:hi].any():
+                    general_stages.append(t)
         num_equality = row
 
         cone_entries = []
@@ -408,6 +426,8 @@ class TrajOptSolver:
             eq_spans,
             cone_spans,
             general is not None,
+            num_general=(len(general_rows) if general_rows is not None else 0),
+            general_stages=general_stages,
         )
         return fns
 
@@ -437,6 +457,13 @@ class TrajOptSolver:
 
     def solve(self, parameters=None, warm=None) -> SolveResult:
         return self.solver.solve(parameters=parameters, warm=warm)
+
+    def batched(self):
+        """Batched/sharded scenario solving over this problem (see
+        calipso_tpu.parallel.batch.BatchedTrajOptSolver)."""
+        from calipso_tpu.parallel.batch import BatchedTrajOptSolver
+
+        return BatchedTrajOptSolver(self)
 
     def get_trajectory(self, result: SolveResult):
         z = np.asarray(result.variables)

@@ -47,11 +47,8 @@ def test_vmap_batch():
         assert abs(np.linalg.norm(b) - float(th[i, 3])) < 1e-3
 
 
-def test_sharded_trajopt_riccati():
-    """vmap + mesh-sharded trajopt solves through the riccati backend (the
-    bench workload shape, on the 8-device CPU mesh)."""
+def _swingup_trajopt(**opt_kw):
     from calipso_tpu import TrajOptSolver, Options
-    from calipso_tpu.solver.api import solve_fn
     from calipso_tpu.models import pendulum
 
     prob = pendulum.swingup_problem(horizon=11, parametric_initial_state=True)
@@ -60,24 +57,48 @@ def test_sharded_trajopt_riccati():
         for k, v in prob.items()
         if k not in ("state_guess", "state_initial", "state_goal")
     }
-    ts = TrajOptSolver(options=Options(), **kw)
+    ts = TrajOptSolver(options=Options(**opt_kw), **kw)
     assert ts.solver.options.linear_solver == "riccati"
-    run = solve_fn(ts.solver.fns, ts.solver.layout, ts.solver.options)
-    guess = np.zeros(ts.num_variables)
     xg = np.array([np.pi, 0.0])
-    for t, idx in enumerate(ts._state_indices):
-        guess[idx] = xg * t / 10
+    ts.initialize_states([xg * t / 10 for t in range(11)])
+    return ts
 
-    solve_batch = jax.jit(jax.vmap(lambda th: run(jnp.asarray(guess), th)))
+
+def test_sharded_trajopt_riccati():
+    """vmap + mesh-sharded trajopt solves through the riccati backend via
+    the public batched surface (the bench workload shape, on the 8-device
+    CPU mesh)."""
+    ts = _swingup_trajopt()
+    bts = ts.batched()
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(0.2 * rng.normal(size=(16, 2)))
     mesh = Mesh(np.array(jax.devices()), axis_names=("batch",))
-    x0s_sharded = jax.device_put(x0s, NamedSharding(mesh, P("batch")))
-    res = solve_batch(x0s_sharded)
+    res = bts.solve(parameters=x0s, mesh=mesh)
     assert bool(jnp.all(res.state.solved))
-    res_ref = solve_batch(x0s)
+    res_ref = bts.solve(parameters=x0s)
     np.testing.assert_allclose(
         np.asarray(res.state.p.x), np.asarray(res_ref.state.p.x), atol=1e-10
+    )
+
+
+def test_batched_trajopt_warm_carry():
+    """MPC-style warmstart carry through the public batched surface: the
+    batched primal-dual point from a previous solve feeds the next one
+    (per-lane guesses + warm Blocks), and the re-solve reconverges to the
+    same solutions. (Iteration counts are NOT asserted monotone: a warm
+    point still walks the fresh kappa=1 central path, reference
+    initialize.jl semantics.)"""
+    ts = _swingup_trajopt(warmstart=True)
+    bts = ts.batched()
+    rng = np.random.default_rng(2)
+    x0s = jnp.asarray(0.2 * rng.normal(size=(8, 2)))
+    res = bts.solve(parameters=x0s)
+    assert bool(jnp.all(res.state.solved))
+    # per-lane guesses: reuse each lane's solution as its own guess
+    res2 = bts.solve(parameters=x0s, guess=res.state.p.x, warm=res.state.p)
+    assert bool(jnp.all(res2.state.solved))
+    np.testing.assert_allclose(
+        np.asarray(res2.state.p.x), np.asarray(res.state.p.x), atol=1e-3
     )
 
 
