@@ -241,11 +241,19 @@ def main():
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
 
-    # warmup / compile
+    # warmup / compile (compile_s includes tracing; trace_s isolates the
+    # Python/jaxpr part -- the rest is the XLA TPU compiler, which the
+    # on-by-default persistent compilation cache absorbs across processes)
     t0 = time.time()
     res = bts.solve(parameters=x0s)
     jax.block_until_ready(res.state.p.x)
     compile_s = time.time() - t0
+    guess_b = jnp.broadcast_to(
+        jnp.asarray(bts._ts._guess, x0s.dtype), (BATCH, int(np.size(bts._ts._guess)))
+    )
+    t0 = time.time()
+    bts._batched.lower(guess_b, x0s)
+    trace_s = time.time() - t0
 
     n_solved = int(jnp.sum(res.state.solved))
     iters = int(jnp.sum(res.state.total_i))
@@ -279,6 +287,8 @@ def main():
         ),
         "device_kind": kind,
         "compile_s": round(compile_s, 1),
+        "trace_s": round(trace_s, 1),
+        "compile_cache_dir": jax.config.jax_compilation_cache_dir,
         "per_batch_wall_s": round(dt, 3),
     }
     try:

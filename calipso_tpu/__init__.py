@@ -18,6 +18,28 @@ Design stance (TPU-first, not a port):
   * whole solves vmap over problem batches and shard over device meshes.
 """
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache, on by default: solver programs are
+# while_loop nests that cost tens of seconds in the TPU compiler per
+# (problem, batch) shape, and MPC/auto-tuning workloads recompile the same
+# shapes every process. Measured on a v5e: pendulum batch B=2048 cold
+# 28.5 s -> warm 7.1 s end-to-end. Opt out with CALIPSO_TPU_NO_CACHE=1;
+# an existing user-configured cache dir is never overridden.
+if not _os.environ.get("CALIPSO_TPU_NO_CACHE"):
+    if _jax.config.jax_compilation_cache_dir is None:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.join(
+                _os.path.expanduser(_os.environ.get("XDG_CACHE_HOME", "~/.cache")),
+                "calipso_tpu",
+                "xla",
+            ),
+        )
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 from calipso_tpu.options import Options
 from calipso_tpu.ops.cones import ConeLayout
 from calipso_tpu.solver.problem import ProblemFunctions, empty_constraint

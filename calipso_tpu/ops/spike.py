@@ -46,17 +46,15 @@ def to_inbound(O, T):
     return jnp.concatenate([jnp.zeros((1, O.shape[1], O.shape[2]), O.dtype), O], axis=0)
 
 
-def solve_local(D_loc, Oin_loc, b_loc, axis: str):
-    """Per-shard body: solve the globally coupled system from local chunks.
-
-    D_loc (Tc, d, d), Oin_loc (Tc, d, d), b_loc (Tc, d) are this shard's
-    stages; `axis` is the mesh axis name the horizon is sharded over.
-    Requires Tc >= 2. Call inside shard_map; returns the local solution
-    chunk (Tc, d)."""
+def factor_local(D_loc, Oin_loc, axis: str):
+    """Per-shard factorization phase (b-independent): interior Riccati
+    factors, boundary eliminations A^{-1}E / A^{-1}F', and the replicated
+    P-block separator Schur factorization. Returns the pytree consumed by
+    apply_local; call inside shard_map. Splitting factor from apply lets
+    the AL-IPM inertia ladder and iterative refinement reuse one
+    factorization across many solves, like the other backends."""
     Tc, d, _ = D_loc.shape
     assert Tc >= 2, "horizon sharding needs >= 2 stages per device"
-    P = lax.axis_size(axis)
-    p = lax.axis_index(axis)
 
     E = Oin_loc[0]  # coupling from previous shard's separator (0 on shard 0)
     F = Oin_loc[Tc - 1]  # coupling interior last stage -> own separator
@@ -72,34 +70,144 @@ def solve_local(D_loc, Oin_loc, b_loc, axis: str):
     X = rc.solve_multi(L, M, R)
     G_E, G_F = X[..., :d], X[..., d:]  # A^{-1}E, A^{-1}F'
 
-    u = rc.solve(L, M, b_loc[:-1])  # A^{-1} r
-
-    # per-chunk Schur pieces (all (d, d) / (d,))
+    # per-chunk Schur pieces (all (d, d))
     diag_own = D_loc[Tc - 1] - F @ G_F[Tc - 2]  # D_sep - F A^{-1} F'
     diag_prev = E.T @ G_E[0]  # E' A^{-1} E  -> previous separator's diagonal
     off_prev = -F @ G_E[Tc - 2]  # couples own separator (row) to prev (col)
-    rhs_own = b_loc[Tc - 1] - F @ u[Tc - 2]
-    rhs_prev = E.T @ u[0]
 
     # assemble the P-block separator system on every shard (tiny gather)
     g = lambda x: lax.all_gather(x, axis)  # (P, ...)
     Sd = g(diag_own)
     Sd = Sd - jnp.concatenate([g(diag_prev)[1:], jnp.zeros((1, d, d), Sd.dtype)], axis=0)
     So = g(off_prev)[1:]  # So[k] couples separator k+1 (row) to k (col)
+    Ls, Ms = rc.factor(Sd, So)
+    return dict(L=L, M=M, G_E=G_E, G_F=G_F, E=E, F=F, Ls=Ls, Ms=Ms)
+
+
+def apply_local(f, b_loc, axis: str):
+    """Per-shard solve phase against a factor_local factorization.
+    b_loc (Tc, d) or (Tc, d, k); returns the local solution chunk of the
+    same shape. Call inside shard_map."""
+    L, M, G_E, G_F, E, F = f["L"], f["M"], f["G_E"], f["G_F"], f["E"], f["F"]
+    Ls, Ms = f["Ls"], f["Ms"]
+    Tc = b_loc.shape[0]
+    d = b_loc.shape[1]
+    p = lax.axis_index(axis)
+    multi = b_loc.ndim == 3
+
+    u = (rc.solve_multi if multi else rc.solve)(L, M, b_loc[:-1])  # A^{-1} r
+    rhs_own = b_loc[Tc - 1] - F @ u[Tc - 2]
+    rhs_prev = E.T @ u[0]
+    g = lambda x: lax.all_gather(x, axis)
     rb = g(rhs_own) - jnp.concatenate(
-        [g(rhs_prev)[1:], jnp.zeros((1, d), Sd.dtype)], axis=0
+        [g(rhs_prev)[1:], jnp.zeros_like(g(rhs_prev)[:1])], axis=0
+    )
+    x_sep = (rc.solve_multi if multi else rc.solve)(Ls, Ms, rb)  # (P, d[, k])
+
+    zero = jnp.zeros_like(x_sep[0])
+    x_prev = jnp.where(p > 0, x_sep[jnp.maximum(p - 1, 0)], zero)
+    x_own = x_sep[p]
+    ein = "tij,jk->tik" if multi else "tij,j->ti"
+    x_int = u - jnp.einsum(ein, G_E, x_prev) - jnp.einsum(ein, G_F, x_own)
+    return jnp.concatenate([x_int, x_own[None]], axis=0)
+
+
+def solve_local(D_loc, Oin_loc, b_loc, axis: str):
+    """Per-shard body: solve the globally coupled system from local chunks
+    (factor_local + apply_local in one shot).
+
+    D_loc (Tc, d, d), Oin_loc (Tc, d, d), b_loc (Tc, d) are this shard's
+    stages; `axis` is the mesh axis name the horizon is sharded over.
+    Requires Tc >= 2. Call inside shard_map; returns the local solution
+    chunk (Tc, d)."""
+    return apply_local(factor_local(D_loc, Oin_loc, axis), b_loc, axis)
+
+
+def _smap(f, mesh, axis, in_specs, out_specs):
+    from jax.sharding import PartitionSpec as Pspec
+
+    spec = lambda s: Pspec(axis) if s else Pspec()
+    try:
+        from jax import shard_map
+
+        return shard_map(
+            f,
+            mesh=mesh,
+            in_specs=tuple(spec(s) for s in in_specs),
+            out_specs=jax.tree.map(spec, out_specs),
+            check_vma=False,
+        )
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(
+            f,
+            mesh=mesh,
+            in_specs=tuple(spec(s) for s in in_specs),
+            out_specs=jax.tree.map(spec, out_specs),
+            check_rep=False,
+        )
+
+
+def _check_split(T, P):
+    if T % P != 0 or T // P < 2:
+        raise ValueError(f"horizon {T} must split into {P} chunks of >= 2 stages")
+
+
+def factor_sharded(D, O, mesh, axis: str):
+    """Factor the block-tridiagonal system with the horizon sharded over
+    `axis` of `mesh` (D (T, d, d), O (T-1, d, d) in ops/riccati.py's
+    convention). Returns the sharded factorization pytree for
+    solve_fact -- the `linear_solver=\"spike\"` backend's factorize
+    phase."""
+    T = D.shape[0]
+    _check_split(T, mesh.shape[axis])
+    Oin = to_inbound(O, T)
+    # interior/boundary pieces are sharded over the axis; the separator
+    # Schur factors (Ls, Ms) are replicated on every shard
+    out_specs = dict(L=True, M=True, G_E=True, G_F=True, E=True, F=True, Ls=False, Ms=False)
+    # E/F/Ls/Ms have no leading chunk axis per shard: gather/shard manually
+    # via a uniform "everything sharded on axis 0" trick -- stack them with
+    # a leading length-1 axis per shard
+    def body(Dl, Ol):
+        f = factor_local(Dl, Ol, axis)
+        return dict(
+            L=f["L"],
+            M=f["M"],
+            G_E=f["G_E"],
+            G_F=f["G_F"],
+            E=f["E"][None],
+            F=f["F"][None],
+            Ls=f["Ls"],
+            Ms=f["Ms"],
+        )
+
+    return _smap(body, mesh, axis, (True, True), out_specs)(D, Oin)
+
+
+def solve_fact(fact, b, mesh, axis: str):
+    """Solve against a factor_sharded factorization; b (T, d) or
+    (T, d, k)."""
+    T = b.shape[0]
+    P = mesh.shape[axis]
+    _check_split(T, P)
+
+    def body(L, M, G_E, G_F, E, F, Ls, Ms, bl):
+        f = dict(L=L, M=M, G_E=G_E, G_F=G_F, E=E[0], F=F[0], Ls=Ls, Ms=Ms)
+        return apply_local(f, bl, axis)
+
+    in_specs = (True, True, True, True, True, True, False, False, True)
+    return _smap(body, mesh, axis, in_specs, True)(
+        fact["L"], fact["M"], fact["G_E"], fact["G_F"],
+        fact["E"], fact["F"], fact["Ls"], fact["Ms"], b,
     )
 
-    # replicated separator solve (P blocks; serial sweep is fine at this size)
-    Ls, Ms = rc.factor(Sd, So)
-    x_sep = rc.solve(Ls, Ms, rb)  # (P, d)
 
-    x_prev = jnp.where(p > 0, x_sep[jnp.maximum(p - 1, 0)], jnp.zeros((d,), Sd.dtype))
-    x_own = x_sep[p]
-
-    # local back-substitution
-    x_int = u - jnp.einsum("tij,j->ti", G_E, x_prev) - jnp.einsum("tij,j->ti", G_F, x_own)
-    return jnp.concatenate([x_int, x_own[None]], axis=0)
+def factors_finite(fact):
+    """Inertia signal for the AL-IPM ladder: all interior and separator
+    Cholesky factors finite (the Cholesky-success reading of the target
+    inertia, like riccati/cr -- reference inertia.jl:7-11)."""
+    return jnp.all(jnp.isfinite(fact["L"])) & jnp.all(jnp.isfinite(fact["Ls"]))
 
 
 def solve_sharded(D, O, b, mesh, axis: str):
@@ -107,36 +215,10 @@ def solve_sharded(D, O, b, mesh, axis: str):
     `axis` of `mesh`. D (T, d, d), O (T-1, d, d) in ops/riccati.py's
     convention, b (T, d); T must be divisible by the axis size with
     T/P >= 2. Returns x (T, d)."""
-    from jax.sharding import PartitionSpec as Pspec
-
     T = D.shape[0]
-    P = mesh.shape[axis]
-    if T % P != 0 or T // P < 2:
-        raise ValueError(f"horizon {T} must split into {P} chunks of >= 2 stages")
+    _check_split(T, mesh.shape[axis])
     Oin = to_inbound(O, T)
-
-    try:
-        from jax import shard_map
-
-        def smap(f):
-            return shard_map(
-                f,
-                mesh=mesh,
-                in_specs=(Pspec(axis), Pspec(axis), Pspec(axis)),
-                out_specs=Pspec(axis),
-                check_vma=False,
-            )
-
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map as _sm
-
-        def smap(f):
-            return _sm(
-                f,
-                mesh=mesh,
-                in_specs=(Pspec(axis), Pspec(axis), Pspec(axis)),
-                out_specs=Pspec(axis),
-                check_rep=False,
-            )
-
-    return smap(lambda Dl, Ol, bl: solve_local(Dl, Ol, bl, axis))(D, Oin, b)
+    return _smap(
+        lambda Dl, Ol, bl: solve_local(Dl, Ol, bl, axis),
+        mesh, axis, (True, True, True), True,
+    )(D, Oin, b)

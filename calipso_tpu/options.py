@@ -109,7 +109,14 @@ class Options:
     #                system; exact inertia from sign(D) (QDLDL analogue)
     #   "lu"      -> dense LU of the full 6-block system (the reference's
     #                :LU path for hard nonsymmetric cases)
+    #   "spike"   -> horizon-sharded block-tridiagonal solve over a device
+    #                mesh (ops/spike.py): set spike_mesh (+ spike_axis) to
+    #                a jax.sharding.Mesh whose axis divides the horizon
+    #                into chunks of >= 2 stages. For single solves whose
+    #                horizon outgrows one chip; no equality_general yet.
     linear_solver: str = "auto"
+    spike_mesh: object = None  # jax.sharding.Mesh (trace-time static)
+    spike_axis: str = "horizon"
 
     # line-search execution mode. The reference's backtracking loops
     # (solve.jl:193-221 cone search, :252-302 filter search) are serial:

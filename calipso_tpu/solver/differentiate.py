@@ -68,7 +68,10 @@ def _sensitivity(fns, layout, opts, state, theta):
         )
         return -jnp.linalg.solve(J, Jt)
     structure = getattr(fns, "stage_structure", None)
-    fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method, structure)
+    mesh, maxis = getattr(opts, "spike_mesh", None), getattr(opts, "spike_axis", None)
+    fact = kkt.factorize(
+        layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method, structure, mesh, maxis
+    )
 
     # dR/dtheta blocks
     rxt = fns.fxt(x, theta)
@@ -82,7 +85,9 @@ def _sensitivity(fns, layout, opts, state, theta):
     # condensed RHS per column: slack rows are zero, so the corrections
     # vanish and the symmetric RHS is just [rxt; gt; ht]
     rhs = jnp.concatenate([rxt, gt, ht], axis=0)  # (ns, p)
-    d_sym = kkt.solve_sym(layout, fact, rhs, n, me, mc, method, structure)  # batched solves
+    d_sym = kkt.solve_sym(
+        layout, fact, rhs, n, me, mc, method, structure, mesh, maxis
+    )  # batched solves
 
     dx = d_sym[:n]
     dy = d_sym[n : n + me]

@@ -203,6 +203,14 @@ class Factorization(NamedTuple):
                  only; same low-rank border for equality_general.
     * "lu":      steps from dense LU of the full 6-block system
                  (lu_solve_full); the ladder still runs on "schur".
+    * "spike":   same stage-block tridiagonal S with the HORIZON sharded
+                 over a device-mesh axis (ops/spike.py partitioned
+                 Schur-complement elimination): each device factors its
+                 chunk's interior locally, the P separators form a tiny
+                 replicated Schur system assembled with one all_gather
+                 over ICI. The CP-like axis of SURVEY.md section 5 --
+                 for single solves whose horizon outgrows one chip.
+                 Trajopt only; no equality_general border yet.
     """
 
     L: jnp.ndarray  # ldl: unit-lower; schur: chol(S); riccati: (T,d,d) chols
@@ -225,6 +233,8 @@ class Factorization(NamedTuple):
     Wg: jnp.ndarray = None
     Lc: jnp.ndarray = None
     dc: jnp.ndarray = None
+    # spike: sharded factorization pytree from ops/spike.factor_sharded
+    spike: dict = None
 
 
 def _ceq(fact):
@@ -299,11 +309,24 @@ def _general_border(structure, method, L, M, cr, gx, rho, eps_p, eps_d):
     return Wg, Lc, dc
 
 
-def factorize(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl", structure=None):
+def factorize(
+    layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, method="ldl", structure=None,
+    mesh=None, axis=None,
+):
     rho = jnp.asarray(rho, Hxx.dtype)
     dt = Hxx.dtype
     e0 = jnp.zeros((0,), dt)
     e3 = jnp.zeros((0, 0, 0), dt)
+    if method == "spike":
+        assert structure is not None, "spike backend needs trajopt stage structure"
+        assert mesh is not None and axis is not None, "spike backend needs mesh+axis"
+        D, O = _riccati_blocks(layout, structure, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
+        from calipso_tpu.ops import spike as sp
+
+        return Factorization(
+            e3, e0, e3, gx, hx, s, t, rho, eps_p, eps_d,
+            spike=sp.factor_sharded(D, O, mesh, axis),
+        )
     if method == "ldl":
         K = condensed_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
         L, dvec = ldl_factor(K)
@@ -468,6 +491,10 @@ def inertia_ok(fact: Factorization, n, me, mc, method="ldl", structure=None):
         return crd.factors_finite(fact.cr) & _border_inertia_ok(fact, structure)
     if method == "riccati":
         return jnp.all(jnp.isfinite(fact.L)) & _border_inertia_ok(fact, structure)
+    if method == "spike":
+        from calipso_tpu.ops import spike as sp
+
+        return sp.factors_finite(fact.spike)
     if method == "schur":
         return jnp.all(jnp.isfinite(fact.L))
     pos, neg, zero = inertia_counts(fact.d)
@@ -506,11 +533,25 @@ def num_zero_eigs(fact: Factorization, method="ldl", structure=None):
         diags = [jnp.diagonal(L, axis1=-2, axis2=-1).reshape(-1) for L, _, _ in levels]
         diags.append(jnp.diagonal(L_final))
         return _tiny_pivots(jnp.concatenate(diags))
+    if method == "spike":
+        # interior + separator pivots (padded unit pivots of ragged stages
+        # are not excluded here; they only mask a signal when the max
+        # pivot is enormous)
+        diags = jnp.concatenate(
+            [
+                jnp.diagonal(fact.spike["L"], axis1=-2, axis2=-1).reshape(-1),
+                jnp.diagonal(fact.spike["Ls"], axis1=-2, axis2=-1).reshape(-1),
+            ]
+        )
+        return _tiny_pivots(diags)
     _, _, zero = inertia_counts(fact.d)
     return zero.astype(jnp.int32)
 
 
-def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structure=None):
+def solve_sym(
+    layout, fact: Factorization, rhs, n, me, mc, method="ldl", structure=None,
+    mesh=None, axis=None,
+):
     """Solve the condensed symmetric system for rhs of shape (ns,) or
     (ns, k)."""
     if method == "ldl":
@@ -547,6 +588,17 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structu
             X = crd.solve_multi(fact.cr, B)
             dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
         dx = _apply_border(fact, structure, dx)
+    elif method == "spike":
+        from calipso_tpu.ops import spike as sp
+
+        if vec:
+            dx = structure.from_blocks(
+                sp.solve_fact(fact.spike, structure.to_blocks(rhs_x), mesh, axis)
+            )
+        else:
+            B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
+            X = sp.solve_fact(fact.spike, B, mesh, axis)
+            dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
     else:
         b = rhs_x[:, None] if vec else rhs_x
         y = jax.scipy.linalg.solve_triangular(fact.L, b, lower=True)
@@ -563,10 +615,13 @@ def solve_sym(layout, fact: Factorization, rhs, n, me, mc, method="ldl", structu
     return jnp.concatenate([dx, dy, dz], axis=0)
 
 
-def solve_with(layout, fact: Factorization, res: Blocks, n, me, mc, method="ldl", structure=None) -> Blocks:
+def solve_with(
+    layout, fact: Factorization, res: Blocks, n, me, mc, method="ldl", structure=None,
+    mesh=None, axis=None,
+) -> Blocks:
     """Condense -> factorized solve -> expand, for an arbitrary 6-block
     RHS."""
     s, t, rho = fact.s, fact.t, fact.rho
     rhs = condensed_rhs(layout, res, s, t, rho, fact.eps_p, fact.eps_d)
-    d_sym = solve_sym(layout, fact, rhs, n, me, mc, method, structure)
+    d_sym = solve_sym(layout, fact, rhs, n, me, mc, method, structure, mesh, axis)
     return expand(layout, res, d_sym, n, me, mc, s, t, rho, fact.eps_p, fact.eps_d)

@@ -145,7 +145,10 @@ def refine_step(opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact
         done_now = (en <= opts.iterative_refinement_tolerance) & (
             i >= opts.min_iterative_refinement
         )
-        corr = kkt.solve_with(layout, fact, err, n, me, mc, opts.linear_solver, structure)
+        corr = kkt.solve_with(
+            layout, fact, err, n, me, mc, opts.linear_solver, structure,
+            getattr(opts, "spike_mesh", None), getattr(opts, "spike_axis", None),
+        )
         stp2 = Blocks(*(jnp.where(done_now, a, a + b) for a, b in zip(stp, corr)))
         err2 = err_of(stp2)
         en2 = jnp.where(done_now, en, inf_norm(err2.all))
@@ -204,11 +207,28 @@ def make_solve(fns, layout, opts, callbacks=None):
     ns, ntot = dims.symmetric, dims.total
     structure = getattr(fns, "stage_structure", None)
     opts = resolve_options(opts, fns)
-    if opts.linear_solver in ("riccati", "cr"):
+    if opts.linear_solver in ("riccati", "cr", "spike"):
         if structure is None:
             raise ValueError(
                 f"linear_solver={opts.linear_solver!r} requires a trajopt problem (stage structure)"
             )
+    if opts.linear_solver == "spike":
+        if opts.spike_mesh is None:
+            raise ValueError(
+                "linear_solver='spike' needs Options.spike_mesh (a jax.sharding.Mesh "
+                "with axis Options.spike_axis over which the horizon shards)"
+            )
+        if structure.has_general:
+            raise ValueError(
+                "linear_solver='spike' does not support equality_general yet; "
+                "use 'riccati'/'cr' (low-rank border) or 'schur'"
+            )
+        T, P = structure.horizon, opts.spike_mesh.shape[opts.spike_axis]
+        if T % P != 0 or T // P < 2:
+            raise ValueError(
+                f"spike: horizon {T} must split into {P} chunks of >= 2 stages"
+            )
+    spike_mesh, spike_axis = opts.spike_mesh, opts.spike_axis
 
     def merit_value(f, r, barrier_val, kappa, lam, rho):
         """AL + barrier merit M = f + lam'r + rho/2 |r|^2 - kappa*Phi
@@ -271,7 +291,10 @@ def make_solve(fns, layout, opts, callbacks=None):
         # inertia ladder on the condensed Schur factorization (the
         # reference likewise keeps QDLDL for inertia under :LU)
         method = "schur" if opts.linear_solver == "lu" else opts.linear_solver
-        fact0 = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method, structure)
+        fact0 = kkt.factorize(
+            layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method, structure,
+            spike_mesh, spike_axis,
+        )
         ok0 = kkt.inertia_ok(fact0, n, me, mc, method, structure)
 
         # IC-2: rank-deficiency -> dual regularization scaled by kappa
@@ -299,7 +322,10 @@ def make_solve(fns, layout, opts, callbacks=None):
 
         def body(c):
             _, e_p, _, _ = c
-            fact = kkt.factorize(layout, Hxx, gx, hx, s, t, rho, e_p, e_d1, method, structure)
+            fact = kkt.factorize(
+                layout, Hxx, gx, hx, s, t, rho, e_p, e_d1, method, structure,
+                spike_mesh, spike_axis,
+            )
             ok = kkt.inertia_ok(fact, n, me, mc, method, structure)
             e_p_next = jnp.where(ok, e_p, e_p * scale)  # IC-5
             failed = (~ok) & (e_p_next > max_reg)  # IC-6
@@ -388,7 +414,10 @@ def make_solve(fns, layout, opts, callbacks=None):
                 layout, Hxx, gx, hx, s, t, st.rho, fact.eps_p, fact.eps_d, res
             )
         else:
-            step = kkt.solve_with(layout, fact, res, n, me, mc, opts.linear_solver, structure)
+            step = kkt.solve_with(
+                layout, fact, res, n, me, mc, opts.linear_solver, structure,
+                spike_mesh, spike_axis,
+            )
             if opts.iterative_refinement:
                 step, fell_back = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
 

@@ -87,13 +87,14 @@ def test_gradient_matches_finite_difference():
     )
     w0 = jnp.array([1.0, 1.0, 0.1])
     x0 = jnp.array([1.0, 0.0])
-    g = jax.grad(loss)(w0, x0)
+    g = jax.jit(jax.grad(loss))(w0, x0)
     # finite differences through full rollouts
+    jloss = jax.jit(loss)
     eps = 1e-5
     for i in range(3):
         wp = w0.at[i].add(eps)
         wm = w0.at[i].add(-eps)
-        fd = (loss(wp, x0) - loss(wm, x0)) / (2 * eps)
+        fd = (jloss(wp, x0) - jloss(wm, x0)) / (2 * eps)
         assert abs(float(g[i]) - float(fd)) < 5e-3 * max(1.0, abs(float(fd))), (
             i,
             float(g[i]),

@@ -77,8 +77,8 @@ def test_double_integrator_differentiation():
         return fns.f(x, th) + fns.g(x, th) @ y
 
     zstar = jnp.concatenate([res.state.p.x, res.state.p.y])
-    Lzz = jax.hessian(lagrangian)(zstar, theta)
-    Lzt = jax.jacfwd(jax.grad(lagrangian), argnums=1)(zstar, theta)
+    Lzz = jax.jit(jax.hessian(lagrangian))(zstar, theta)
+    Lzt = jax.jit(jax.jacfwd(jax.grad(lagrangian), argnums=1))(zstar, theta)
     want = -np.linalg.solve(np.asarray(Lzz), np.asarray(Lzt))
 
     sens = np.asarray(res.sensitivity)

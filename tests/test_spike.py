@@ -64,3 +64,60 @@ def test_spike_rejects_bad_split():
     b = jnp.zeros((12, 3))
     with pytest.raises(ValueError, match="chunks"):
         spike.solve_sharded(D, O, b, _mesh(), "stage")
+
+
+def test_spike_factor_apply_multi_rhs():
+    """Split factor/apply phases (the linear_solver='spike' backend path),
+    including multi-RHS solves (iterative refinement / sensitivity
+    columns)."""
+    rng = np.random.default_rng(11)
+    T, d, k = 16, 3, 4
+    D, O, S = _random_spd_tridiag(rng, T, d)
+    mesh = _mesh()
+    fact = jax.jit(lambda D, O: spike.factor_sharded(D, O, mesh, "stage"))(D, O)
+    assert bool(spike.factors_finite(fact))
+    b = jnp.asarray(rng.normal(size=(T, d)))
+    x = spike.solve_fact(fact, b, mesh, "stage")
+    x_ref = np.linalg.solve(S, np.asarray(b).ravel()).reshape(T, d)
+    assert np.abs(np.asarray(x) - x_ref).max() < 1e-10
+    B = jnp.asarray(rng.normal(size=(T, d, k)))
+    X = spike.solve_fact(fact, B, mesh, "stage")
+    X_ref = np.linalg.solve(S, np.asarray(B).reshape(T * d, k)).reshape(T, d, k)
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-10
+
+
+def test_spike_backend_full_solve():
+    """linear_solver='spike': a full AL-IPM trajopt solve with the horizon
+    sharded over the 8-device mesh reproduces the riccati backend's
+    iterate sequence (VERDICT r1 item 6)."""
+    from calipso_tpu import TrajOptSolver, Options
+    from calipso_tpu.models import pendulum
+
+    horizon = 16  # 8 chunks x 2 stages
+
+    def build(opts):
+        prob = pendulum.swingup_problem(horizon)
+        ts = TrajOptSolver(
+            [lambda x, u, w: 0.01 * u @ u + 0.1 * (x[1] ** 2)] * (horizon - 1)
+            + [lambda x, u, w: 0.1 * (x[1] ** 2)],
+            [pendulum.discrete] * (horizon - 1),
+            [2] * horizon,
+            [1] * (horizon - 1),
+            equality=[lambda x, u, w: x]
+            + [None] * (horizon - 2)
+            + [lambda x, u, w: x - jnp.array([np.pi, 0.0])],
+            options=opts,
+        )
+        ts.initialize_states(prob["state_guess"])
+        ts.initialize_actions([np.zeros(1)] * (horizon - 1))
+        return ts.solve()
+
+    r_ref = build(Options(linear_solver="riccati"))
+    mesh = Mesh(np.array(jax.devices()), axis_names=("horizon",))
+    r_sp = build(Options(linear_solver="spike", spike_mesh=mesh))
+    for r in (r_ref, r_sp):
+        assert bool(r.solved)
+    assert int(r_sp.iterations) == int(r_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(r_sp.variables), np.asarray(r_ref.variables), atol=1e-8
+    )

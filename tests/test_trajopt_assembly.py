@@ -98,10 +98,10 @@ def setup():
 def test_objective_gradient_and_hessian(setup):
     """reference test/trajectory_optimization/objective.jl"""
     fns, z, th, *_ = setup
-    assert np.allclose(fns.fx(z, th), jax.grad(fns.f)(z, th), atol=1e-10)
-    assert np.allclose(fns._fxx(z, th), jax.hessian(fns.f)(z, th), atol=1e-10)
+    assert np.allclose(fns.fx(z, th), jax.jit(jax.grad(fns.f))(z, th), atol=1e-10)
+    assert np.allclose(fns._fxx(z, th), jax.jit(jax.hessian(fns.f))(z, th), atol=1e-10)
     assert np.allclose(
-        fns.fxt(z, th), jax.jacfwd(jax.grad(fns.f), argnums=1)(z, th), atol=1e-10
+        fns.fxt(z, th), jax.jit(jax.jacfwd(jax.grad(fns.f), argnums=1))(z, th), atol=1e-10
     )
 
 
@@ -109,9 +109,9 @@ def test_equality_jacobians(setup):
     """reference test/trajectory_optimization/dynamics.jl:43-51 (dynamics rows)
     + constraints.jl (stage equality rows) + equality_general rows."""
     fns, z, th, *_ = setup
-    assert np.allclose(fns.gx(z, th), jax.jacfwd(fns.g)(z, th), atol=1e-10)
+    assert np.allclose(fns.gx(z, th), jax.jit(jax.jacfwd(fns.g))(z, th), atol=1e-10)
     assert np.allclose(
-        fns.gt(z, th), jax.jacfwd(fns.g, argnums=1)(z, th), atol=1e-10
+        fns.gt(z, th), jax.jit(jax.jacfwd(fns.g, argnums=1))(z, th), atol=1e-10
     )
 
 
@@ -119,9 +119,9 @@ def test_cone_jacobians(setup):
     """reference test/trajectory_optimization/constraints.jl (cone rows,
     incl. multiple SOCs per stage via constraints_vector.jl)."""
     fns, z, th, *_ = setup
-    assert np.allclose(fns.hx(z, th), jax.jacfwd(fns.h)(z, th), atol=1e-10)
+    assert np.allclose(fns.hx(z, th), jax.jit(jax.jacfwd(fns.h))(z, th), atol=1e-10)
     assert np.allclose(
-        fns.ht(z, th), jax.jacfwd(fns.h, argnums=1)(z, th), atol=1e-10
+        fns.ht(z, th), jax.jit(jax.jacfwd(fns.h, argnums=1))(z, th), atol=1e-10
     )
 
 
@@ -131,18 +131,18 @@ def test_dual_scalarization_derivatives(setup):
     fns, z, th, y, zc = setup
     gy = lambda zz, tt: fns.g(zz, tt) @ y
     hz = lambda zz, tt: fns.h(zz, tt) @ zc
-    assert np.allclose(fns.gty_x(z, th, y), jax.grad(gy)(z, th), atol=1e-10)
-    assert np.allclose(fns.htz_x(z, th, zc), jax.grad(hz)(z, th), atol=1e-10)
-    assert np.allclose(fns._gty_xx(z, th, y), jax.hessian(gy)(z, th), atol=1e-10)
-    assert np.allclose(fns._htz_xx(z, th, zc), jax.hessian(hz)(z, th), atol=1e-10)
+    assert np.allclose(fns.gty_x(z, th, y), jax.jit(jax.grad(gy))(z, th), atol=1e-10)
+    assert np.allclose(fns.htz_x(z, th, zc), jax.jit(jax.grad(hz))(z, th), atol=1e-10)
+    assert np.allclose(fns._gty_xx(z, th, y), jax.jit(jax.hessian(gy))(z, th), atol=1e-10)
+    assert np.allclose(fns._htz_xx(z, th, zc), jax.jit(jax.hessian(hz))(z, th), atol=1e-10)
     assert np.allclose(
         fns.gty_xt(z, th, y),
-        jax.jacfwd(jax.grad(gy), argnums=1)(z, th),
+        jax.jit(jax.jacfwd(jax.grad(gy), argnums=1))(z, th),
         atol=1e-10,
     )
     assert np.allclose(
         fns.htz_xt(z, th, zc),
-        jax.jacfwd(jax.grad(hz), argnums=1)(z, th),
+        jax.jit(jax.jacfwd(jax.grad(hz), argnums=1))(z, th),
         atol=1e-10,
     )
 
@@ -154,7 +154,7 @@ def test_hessian_of_lagrangian(setup):
     fns, z, th, y, zc = setup
     lag = lambda zz: fns.f(zz, th) + fns.g(zz, th) @ y + fns.h(zz, th) @ zc
     H = fns.lagrangian_hessian_xx(z, th, y, zc, constraint_tensor=True)
-    assert np.allclose(H, jax.hessian(lag)(z), atol=1e-10)
+    assert np.allclose(H, jax.jit(jax.hessian(lag))(z), atol=1e-10)
     # without the constraint curvature tensor: objective Hessian only
     H0 = fns.lagrangian_hessian_xx(z, th, y, zc, constraint_tensor=False)
-    assert np.allclose(H0, jax.hessian(lambda zz: fns.f(zz, th))(z), atol=1e-10)
+    assert np.allclose(H0, jax.jit(jax.hessian(lambda zz: fns.f(zz, th)))(z), atol=1e-10)
