@@ -190,7 +190,10 @@ def gait_problem(horizon=21, travel=0.5, carry_first_state=False):
         )
 
     def eq_T(x, u):
-        return x[8:12] * signed_distance(x[4:8])
+        # config-1 periodicity rows are stage-local: eq_1 pins x[0:4] = q1,
+        # so x_T[1:4] - x_1[1:4] reduces to x[1:4] - q1[1:4]
+        compl = x[8:12] * signed_distance(x[4:8])
+        return jnp.concatenate([compl, x[1:4] - jnp.asarray(q1)[1:4]])
 
     equality = (
         [eq_1] + [eq_t] * (horizon - 2) + [eq_T_carried if carry_first_state else eq_T]
@@ -219,12 +222,19 @@ def gait_problem(horizon=21, travel=0.5, carry_first_state=False):
         )
 
     def ineq_T(x, u):
-        # travel rows live in equality_general (coupled to the FIRST
-        # stage); only stage-local bounds remain here
+        # config-1 travel is stage-local too (x_1[0] = q1[0] pinned); the
+        # reference's (x[1] - theta[1]) - x_travel inequality
+        # (hopper_gait.jl inequality_T) with the carried theta replaced by
+        # the known q1
         return jnp.concatenate(
             [
                 signed_distance(x[4:8]),
-                jnp.array([x[1], x[3], x[5], x[7], 1.0 - x[3], 1.0 - x[7]]),
+                jnp.array(
+                    [
+                        x[0] - (q1[0] + travel),
+                        x[1], x[3], x[5], x[7], 1.0 - x[3], 1.0 - x[7],
+                    ]
+                ),
             ]
         )
 
@@ -254,17 +264,16 @@ def gait_problem(horizon=21, travel=0.5, carry_first_state=False):
         dyn = [dynamics] * (horizon - 1)
 
         def equality_general(z, theta):
-            # periodicity in (z, angle, leg) for both configurations plus
-            # the travel distance, coupling the first and last stages
-            # (reference eq_T periodicity rows + the travel inequality,
-            # here exact: x_T = x_1 + travel in the body/foot x-positions)
+            # only the rows that truly couple stages: config-2 periodicity
+            # (x_1[4:8] is free -- eq_1 pins the foot kinematics, not the
+            # configuration) and the config-2 travel, made exact (the
+            # reference's >= turns active at the optimum). 4 rows instead
+            # of 8 keeps the Schur border small.
             x_first = z[0:8]
             x_last = z[z.shape[0] - 12 : z.shape[0] - 4]
             return jnp.concatenate(
                 [
-                    x_last[1:4] - x_first[1:4],
                     x_last[5:8] - x_first[5:8],
-                    x_last[0:1] - x_first[0:1] - travel,
                     x_last[4:5] - x_first[4:5] - travel,
                 ]
             )

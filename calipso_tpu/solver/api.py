@@ -66,6 +66,45 @@ def solve_fn(fns: ProblemFunctions, layout: ConeLayout, opts: Options, callbacks
     return run
 
 
+def _print_banner(dims, opts):
+    """Solve banner (reference print.jl:1-18 solver_info; repo identity +
+    problem dimensions instead of the reference's ASCII art)."""
+    print("-" * 72)
+    print("CALIPSO-TPU  conic augmented-Lagrangian interior-point solver (JAX)")
+    print(
+        f"variables {dims.variables}  equality {dims.equality}  cone {dims.cone}"
+        f"  parameters {dims.parameters}"
+    )
+    print(
+        f"linear_solver {opts.linear_solver}  line_search {opts.line_search_mode}"
+        f"  differentiate {opts.differentiate}"
+    )
+    print("-" * 72)
+
+
+def _print_status(result, dims, opts):
+    """Final solve summary (reference print.jl:55-61 solver_status)."""
+    st = result.state
+    print("-" * 72)
+    print(f"solution gradients: {opts.differentiate}")
+    print(f"solve status:       {'success' if bool(st.solved) else 'failure'}")
+    print(
+        f"iterations:         {int(st.total_i)} "
+        f"(outer {int(st.outer_i)}, LU fallbacks {int(st.num_fallbacks)})"
+    )
+    print(
+        f"violations:         residual {float(st.residual_violation):.2e}  "
+        f"equality {float(st.equality_violation):.2e}  "
+        f"comp {float(st.cone_product_violation):.2e}  "
+        f"slack {float(st.slack_violation):.2e}"
+    )
+    if dims.variables < 10:
+        import numpy as np
+
+        print(f"solution:           {np.round(np.asarray(result.variables), 3)}")
+    print("-" * 72)
+
+
 class Solver:
     """Conic AL-IPM solver for
         min_x c(x; theta)  s.t.  g(x; theta) = 0,  h(x; theta) in K.
@@ -132,6 +171,11 @@ class Solver:
         theta = parameters if parameters is not None else self.parameters
         if warm is None and self.options.warmstart:
             warm = self._warm
+        if self.options.verbose:
+            _print_banner(self.dims, self.options)
         result = self._run(jnp.asarray(x0), theta, warm)
+        if self.options.verbose:
+            jax.block_until_ready(result.state.p.x)
+            _print_status(result, self.dims, self.options)
         self._warm = result.state.p  # retained for warmstart MPC loops
         return result
