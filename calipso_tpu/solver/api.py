@@ -173,7 +173,26 @@ class Solver:
             warm = self._warm
         if self.options.verbose:
             _print_banner(self.dims, self.options)
-        result = self._run(jnp.asarray(x0), theta, warm)
+        try:
+            result = self._run(jnp.asarray(x0), theta, warm)
+        except jax.errors.JaxRuntimeError as err:
+            # some jax builds mis-lower the in-jit row callback for some
+            # programs (custom call loses its FFI registration); degrade
+            # to banner + summary instead of failing the solve
+            if not (self.options.verbose and "callback" in str(err)):
+                raise
+            import warnings
+
+            warnings.warn(
+                "verbose iteration rows disabled (runtime cannot execute "
+                f"the in-jit print callback: {str(err)[:120]})"
+            )
+            quiet = solve_fn(
+                self.fns, self.layout, self.options.replace(verbose=False),
+                self._callbacks,
+            )
+            self._run = jax.jit(quiet)
+            result = self._run(jnp.asarray(x0), theta, warm)
         if self.options.verbose:
             jax.block_until_ready(result.state.p.x)
             _print_status(result, self.dims, self.options)

@@ -96,10 +96,15 @@ def condensed_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
 def condensed_rhs(layout, res: Blocks, s, t, rho, eps_p, eps_d):
     """Condense the 6-block residual to the symmetric RHS (reference
     residual.jl:53-101)."""
+    req = res.y + res.r / (rho + eps_p)
+    if s.shape[0] == 0:
+        # mc == 0: skip the zero-size cone ops entirely (XLA CPU
+        # miscompiles callback-bearing while loops whose bodies carry
+        # folded zero-size custom computations)
+        return jnp.concatenate([res.x, req, res.z])
     e = layout.target(res.x.dtype)
     v = s - eps_d * e
     w = t + eps_p * v
-    req = res.y + res.r / (rho + eps_p)
     rcone = res.z + cones.arrow_solve(layout, w, cones.product(layout, v, res.s) + res.t)
     return jnp.concatenate([res.x, req, rcone])
 
@@ -110,10 +115,12 @@ def expand(layout, res: Blocks, d_sym, n, me, mc, s, t, rho, eps_p, eps_d):
     dx = d_sym[:n]
     dy = d_sym[n : n + me]
     dz = d_sym[n + me :]
+    dr = (res.r + dy) / (rho + eps_p)
+    if mc == 0:
+        return Blocks(dx, dr, res.s, dy, dz, res.t)
     e = layout.target(res.x.dtype)
     v = s - eps_d * e
     w = t + eps_p * v
-    dr = (res.r + dy) / (rho + eps_p)
     ds = cones.arrow_solve(
         layout, w, res.t + cones.product(layout, v, res.s + dz)
     )
@@ -125,12 +132,15 @@ def matvec(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d, d: Blocks) -> Blocks:
     """Exact regularized 6-block Jacobian-vector product J @ d, matrix-free
     (replaces the reference's assembled sparse jacobian_variables for
     iterative refinement, iterative_refinement.jl:1-53)."""
+    orr = (rho + eps_p) * d.r - d.y
+    oy = gx @ d.x - d.r - eps_d * d.y
+    if s.shape[0] == 0:
+        ox = Hxx @ d.x + eps_p * d.x + gx.T @ d.y
+        return Blocks(ox, orr, d.s, oy, d.z, d.t)
     e = layout.target(d.x.dtype)
     v = s - eps_d * e
     ox = Hxx @ d.x + eps_p * d.x + gx.T @ d.y + hx.T @ d.z
-    orr = (rho + eps_p) * d.r - d.y
     os = eps_p * d.s - d.z - d.t
-    oy = gx @ d.x - d.r - eps_d * d.y
     oz = hx @ d.x - d.s - eps_d * d.z
     ot = cones.product(layout, t, d.s) + cones.product(layout, v, d.t)
     return Blocks(ox, orr, os, oy, oz, ot)

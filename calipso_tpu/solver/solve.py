@@ -192,6 +192,32 @@ def refine_step(opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact
     )
 
 
+def _row_printer(j, i, r, o, sl, e, c, k, p, a, ep, ed):
+    """Host-side iteration row (reference print.jl:20-53 format)."""
+    print(
+        f"outer {int(j)} inner {int(i)} | res {float(r):.2e} opt {float(o):.2e} "
+        f"slack {float(sl):.2e} eq {float(e):.2e} comp {float(c):.2e} | "
+        f"kappa {float(k):.1e} rho {float(p):.1e} alpha {float(a):.1e} "
+        f"ep {float(ep):.1e} ed {float(ed):.1e}"
+    )
+
+
+def _can_print_rows():
+    """In-jit iteration rows need host callbacks; some tunneled PJRT
+    runtimes lack them -- degrade to banner + final summary only."""
+    from calipso_tpu.utils.platform import host_callbacks_supported
+
+    if host_callbacks_supported():
+        return True
+    import warnings
+
+    warnings.warn(
+        "verbose iteration rows disabled: this JAX runtime does not support "
+        "host callbacks inside jit (banner and final summary still print)"
+    )
+    return False
+
+
 # ---- solver construction ----------------------------------------------------
 
 
@@ -229,6 +255,10 @@ def make_solve(fns, layout, opts, callbacks=None):
                 f"spike: horizon {T} must split into {P} chunks of >= 2 stages"
             )
     spike_mesh, spike_axis = opts.spike_mesh, opts.spike_axis
+    # evaluate the runtime probe OUTSIDE any trace: running a jitted probe
+    # while inner_body is being traced leaks the probe's callback effect
+    # into the traced while-loop body
+    verbose_rows = opts.verbose and _can_print_rows()
 
     def merit_value(f, r, barrier_val, kappa, lam, rho):
         """AL + barrier merit M = f + lam'r + rho/2 |r|^2 - kappa*Phi
@@ -580,18 +610,22 @@ def make_solve(fns, layout, opts, callbacks=None):
             equality_violation=equality_violation,
             cone_product_violation=cone_product_violation,
         )
-        if opts.verbose:
+        if verbose_rows:
             # host-side iteration telemetry every print_frequency inner
             # iterations (reference print.jl:20-53, options.jl:54)
             def _print_row(s):
-                jax.debug.print(
-                    "outer {j} inner {i} | res {r:.2e} opt {o:.2e} slack {sl:.2e} "
-                    "eq {e:.2e} comp {c:.2e} | kappa {k:.1e} rho {p:.1e} alpha {a:.1e} "
-                    "ep {ep:.1e} ed {ed:.1e}",
-                    j=s.outer_i, i=s.inner_i, r=residual_violation, o=opt_violation,
-                    sl=slack_violation, e=equality_violation, c=cone_product_violation,
-                    k=s.kappa, p=s.rho, a=s.step_size,
-                    ep=s.eps_p_used, ed=s.eps_d_used,
+                # jax.debug.callback, NOT jax.debug.print: on this jax
+                # build debug_print inside cond-in-while lowers through a
+                # cached rule to an untyped custom call with no registered
+                # host-callback index (NOT_FOUND at run time) for some
+                # programs; debug.callback always lowers typed-FFI
+                jax.debug.callback(
+                    _row_printer,
+                    s.outer_i, s.inner_i, s.residual_violation,
+                    s.optimality_violation, s.slack_violation,
+                    s.equality_violation, s.cone_product_violation,
+                    s.kappa, s.rho, s.step_size,
+                    s.eps_p_used, s.eps_d_used,
                 )
 
             lax.cond(
