@@ -113,7 +113,7 @@ class Options:
     #                mesh (ops/spike.py): set spike_mesh (+ spike_axis) to
     #                a jax.sharding.Mesh whose axis divides the horizon
     #                into chunks of >= 2 stages. For single solves whose
-    #                horizon outgrows one chip; no equality_general yet.
+    #                horizon outgrows one chip.
     linear_solver: str = "auto"
     spike_mesh: object = None  # jax.sharding.Mesh (trace-time static)
     spike_axis: str = "horizon"

@@ -220,7 +220,7 @@ class Factorization(NamedTuple):
                  replicated Schur system assembled with one all_gather
                  over ICI. The CP-like axis of SURVEY.md section 5 --
                  for single solves whose horizon outgrows one chip.
-                 Trajopt only; no equality_general border yet.
+                 Trajopt only; same low-rank border for equality_general.
     """
 
     L: jnp.ndarray  # ldl: unit-lower; schur: chol(S); riccati: (T,d,d) chols
@@ -252,18 +252,21 @@ def _ceq(fact):
     return 1.0 / (fact.rho + fact.eps_p) + fact.eps_d
 
 
-def _banded_solve_multi(structure, method, L, M, cr, B):
+def _banded_solve_multi(structure, method, L, M, cr, B, spike=None, mesh=None, axis=None):
     """Apply S_band^{-1} to columns of B (n, k) through the stage-block
     tridiagonal factorization of the chosen backend."""
+    Bb = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(B)
     if method == "riccati":
         from calipso_tpu.ops import riccati as rc
 
-        Bb = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(B)
         X = rc.solve_multi(L, M, Bb)
+    elif method == "spike":
+        from calipso_tpu.ops import spike as sp
+
+        X = sp.solve_fact(spike, Bb, mesh, axis)
     else:
         from calipso_tpu.ops import cyclic_reduction as crd
 
-        Bb = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(B)
         X = crd.solve_multi(cr, Bb)
     return jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
 
@@ -294,7 +297,9 @@ def _border_V(structure, gx):
     return jnp.concatenate(cols, axis=1)
 
 
-def _general_border(structure, method, L, M, cr, gx, rho, eps_p, eps_d):
+def _general_border(
+    structure, method, L, M, cr, gx, rho, eps_p, eps_d, spike=None, mesh=None, axis=None
+):
     """Border factorization for S = S_bd + V Kx V' (see _border_V; S_bd is
     the banded part including the folded block-diagonal of Jg'Jg/c_eq).
 
@@ -309,7 +314,7 @@ def _general_border(structure, method, L, M, cr, gx, rho, eps_p, eps_d):
     k = len(structure.general_stages)
     ceq = 1.0 / (rho + eps_p) + eps_d
     V = _border_V(structure, gx)
-    Wg = _banded_solve_multi(structure, method, L, M, cr, V)
+    Wg = _banded_solve_multi(structure, method, L, M, cr, V, spike, mesh, axis)
     # Kx^{-1} = c_eq * ((11'-I)^{-1} kron I_rg), (11'-I)^{-1} = J/(k-1) - I
     Jk = jnp.ones((k, k), gx.dtype) / (k - 1) - jnp.eye(k, dtype=gx.dtype)
     Kx_inv = ceq * jnp.kron(Jk, jnp.eye(rg, dtype=gx.dtype))
@@ -333,9 +338,15 @@ def factorize(
         D, O = _riccati_blocks(layout, structure, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
         from calipso_tpu.ops import spike as sp
 
+        sf = sp.factor_sharded(D, O, mesh, axis)
+        Wg = Lc = dc = None
+        if structure.num_general and len(structure.general_stages) >= 2:
+            Wg, Lc, dc = _general_border(
+                structure, method, e3, e3, (), gx, rho, eps_p, eps_d, sf, mesh, axis
+            )
         return Factorization(
             e3, e0, e3, gx, hx, s, t, rho, eps_p, eps_d,
-            spike=sp.factor_sharded(D, O, mesh, axis),
+            Wg=Wg, Lc=Lc, dc=dc, spike=sf,
         )
     if method == "ldl":
         K = condensed_matrix(layout, Hxx, gx, hx, s, t, rho, eps_p, eps_d)
@@ -504,7 +515,7 @@ def inertia_ok(fact: Factorization, n, me, mc, method="ldl", structure=None):
     if method == "spike":
         from calipso_tpu.ops import spike as sp
 
-        return sp.factors_finite(fact.spike)
+        return sp.factors_finite(fact.spike) & _border_inertia_ok(fact, structure)
     if method == "schur":
         return jnp.all(jnp.isfinite(fact.L))
     pos, neg, zero = inertia_counts(fact.d)
@@ -609,6 +620,7 @@ def solve_sym(
             B = jax.vmap(structure.to_blocks, in_axes=1, out_axes=2)(rhs_x)
             X = sp.solve_fact(fact.spike, B, mesh, axis)
             dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
+        dx = _apply_border(fact, structure, dx)
     else:
         b = rhs_x[:, None] if vec else rhs_x
         y = jax.scipy.linalg.solve_triangular(fact.L, b, lower=True)

@@ -244,11 +244,6 @@ def make_solve(fns, layout, opts, callbacks=None):
                 "linear_solver='spike' needs Options.spike_mesh (a jax.sharding.Mesh "
                 "with axis Options.spike_axis over which the horizon shards)"
             )
-        if structure.has_general:
-            raise ValueError(
-                "linear_solver='spike' does not support equality_general yet; "
-                "use 'riccati'/'cr' (low-rank border) or 'schur'"
-            )
         T, P = structure.horizon, opts.spike_mesh.shape[opts.spike_axis]
         if T % P != 0 or T // P < 2:
             raise ValueError(

@@ -4,6 +4,7 @@ validates its hand-written chain rule, here jax.grad through the
 custom-VJP solve is validated against finite differences and the tuning
 loop must reduce the rollout loss)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -181,6 +182,7 @@ def test_cartpole_mpc_autotuning():
     assert history[-1] < history[0], history
 
 
+@pytest.mark.slow
 def test_acrobot_mpc_autotuning():
     """Acrobot MPC auto-tuning (reference examples/autotuning/acrobot.jl):
     the second half of the reference's auto-tuning pair."""

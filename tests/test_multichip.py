@@ -2,6 +2,7 @@
 loss/gradient reductions through batched differentiable solves (the MPC
 auto-tuning communication pattern; collectives ride the mesh axis)."""
 
+import pytest
 import sys
 import os
 
@@ -14,6 +15,7 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_subset():
     import __graft_entry__ as ge
 

@@ -121,3 +121,39 @@ def test_spike_backend_full_solve():
     np.testing.assert_allclose(
         np.asarray(r_sp.variables), np.asarray(r_ref.variables), atol=1e-8
     )
+
+
+def test_spike_backend_equality_general():
+    """equality_general on the spike backend: the low-rank Schur border's
+    banded solves go through the sharded factorization; iterates match the
+    riccati border path."""
+    from calipso_tpu import TrajOptSolver, Options
+    from calipso_tpu.models import pendulum
+
+    horizon = 16
+
+    def build(opts):
+        ts = TrajOptSolver(
+            [lambda x, u, w: 0.01 * u @ u + 0.1 * (x[1] ** 2)] * (horizon - 1)
+            + [lambda x, u, w: 0.1 * (x[1] ** 2)],
+            [pendulum.discrete] * (horizon - 1),
+            [2] * horizon,
+            [1] * (horizon - 1),
+            equality_general=lambda z, th: jnp.concatenate(
+                [z[0:2], z[-2:] - jnp.array([np.pi, 0.0])]
+            ),
+            options=opts,
+        )
+        ts.initialize_states(pendulum.swingup_problem(horizon)["state_guess"])
+        ts.initialize_actions([np.zeros(1)] * (horizon - 1))
+        return ts.solve()
+
+    r_ref = build(Options(linear_solver="riccati"))
+    mesh = Mesh(np.array(jax.devices()), axis_names=("horizon",))
+    r_sp = build(Options(linear_solver="spike", spike_mesh=mesh))
+    for r in (r_ref, r_sp):
+        assert bool(r.solved)
+    assert int(r_sp.iterations) == int(r_ref.iterations)
+    np.testing.assert_allclose(
+        np.asarray(r_sp.variables), np.asarray(r_ref.variables), atol=1e-7
+    )

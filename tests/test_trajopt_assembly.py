@@ -95,6 +95,7 @@ def setup():
     return fns, z, th, y, zc
 
 
+@pytest.mark.slow
 def test_objective_gradient_and_hessian(setup):
     """reference test/trajectory_optimization/objective.jl"""
     fns, z, th, *_ = setup
@@ -125,6 +126,7 @@ def test_cone_jacobians(setup):
     )
 
 
+@pytest.mark.slow
 def test_dual_scalarization_derivatives(setup):
     """grad/hess of g'y and h'z vs dense oracles (reference codegen.jl:48-55
     scalarizations, checked in hessian_lagrangian.jl)."""
