@@ -218,7 +218,14 @@ def bench_hopper_gait():
         if k
         not in ("state_guess", "state_initial", "state_goal", "action_guess", "penalty_initial")
     }
-    ts = TrajOptSolver(options=_tol_options(), **kw)
+    # per-problem option tuning (the reference's examples tune options the
+    # same way): a shorter first central-path leg suits this contact
+    # problem (54 vs 81 iterations measured at 1e-4 on a v5e), and two
+    # refinement trips absorb the f32 error like the rocket bench
+    ts = TrajOptSolver(
+        options=_tol_options(central_path_initial=0.1, max_iterative_refinement=2),
+        **kw,
+    )
     ts.initialize_states([np.asarray(s, np.float32) for s in prob["state_guess"]])
     if "action_guess" in prob:
         ts.initialize_actions([np.asarray(a, np.float32) for a in prob["action_guess"]])

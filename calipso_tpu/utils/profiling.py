@@ -36,4 +36,26 @@ def iteration_stats(state):
         "equality_violation": float(state.equality_violation),
         "complementarity_violation": float(state.cone_product_violation),
         "step_size": float(state.step_size),
+        "lu_fallbacks": int(state.num_fallbacks),
+    }
+
+
+def batch_stats(state):
+    """Summarize a batched SolveResult state (leading batch axis): per-lane
+    convergence masks plus iteration-load statistics. The `lockstep_waste`
+    fraction is the share of lane-iterations spent as masked no-ops while
+    the slowest lane finished -- the knob batch-size tuning trades against
+    per-chip occupancy."""
+    import numpy as np
+
+    iters = np.asarray(state.total_i)
+    solved = np.asarray(state.solved)
+    mx = int(iters.max(initial=0))
+    return {
+        "batch": int(iters.shape[0]),
+        "solved": int(solved.sum()),
+        "failed": int(np.asarray(state.failed).sum()),
+        "iterations_mean": float(iters.mean()),
+        "iterations_max": mx,
+        "lockstep_waste": float(1.0 - iters.mean() / mx) if mx else 0.0,
     }

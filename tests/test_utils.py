@@ -33,3 +33,26 @@ def test_checkpoint_warmstart(tmp_path):
 
     stats = profiling.iteration_stats(res2.state)
     assert stats["solved"] and stats["residual_violation"] < 1e-4
+    assert stats["lu_fallbacks"] == 0
+
+
+def test_batch_stats():
+    from calipso_tpu import BatchedSolver
+
+    bs = BatchedSolver(
+        lambda x, th: (x[0] - th[0]) ** 2 + x[1] ** 2,
+        lambda x, th: jnp.array([x[0] + x[1] - 1.0]),
+        lambda x, th: x,
+        2,
+        num_parameters=1,
+    )
+    rng = np.random.default_rng(0)
+    B = 8
+    res = bs.solve(
+        jnp.asarray(rng.uniform(0.2, 0.8, size=(B, 2))),
+        jnp.asarray(rng.uniform(0.5, 2.0, size=(B, 1))),
+    )
+    stats = profiling.batch_stats(res.state)
+    assert stats["solved"] == B and stats["failed"] == 0
+    assert stats["iterations_max"] >= stats["iterations_mean"] > 0
+    assert 0.0 <= stats["lockstep_waste"] < 1.0
