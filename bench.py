@@ -264,6 +264,7 @@ def main():
 
     n_solved = int(jnp.sum(res.state.solved))
     iters = int(jnp.sum(res.state.total_i))
+    iters_max = int(jnp.max(res.state.total_i))
 
     reps = 2
     t0 = time.time()
@@ -287,6 +288,12 @@ def main():
         "batch": BATCH,
         "tolerance": TOL,
         "total_inner_iterations": iters,
+        # lockstep occupancy: vmapped lanes run masked no-ops until the
+        # slowest lane finishes; waste = 1 - mean/max iterations
+        "iterations_max": iters_max,
+        "lockstep_waste": round(1.0 - iters / (BATCH * iters_max), 3)
+        if iters_max
+        else 0.0,
         "kkt_factorizations_per_s_lower_bound": round(iters / dt, 1),
         "kkt_factorization_gflops_per_s": round(kkt_flops_per_s / 1e9, 3),
         "mfu_vs_bf16_peak": (
