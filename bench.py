@@ -249,22 +249,21 @@ def main():
     x0s = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
 
     # warmup / compile (compile_s includes tracing; trace_s isolates the
-    # Python/jaxpr part -- the rest is the XLA TPU compiler, which the
-    # on-by-default persistent compilation cache absorbs across processes)
+    # Python/jaxpr part, measured COLD on a freshly built solver so the
+    # jaxpr cache from the warmup call cannot hide it -- the rest is the
+    # XLA TPU compiler, which the on-by-default persistent compilation
+    # cache absorbs across processes)
     t0 = time.time()
     res = bts.solve(parameters=x0s)
     jax.block_until_ready(res.state.p.x)
     compile_s = time.time() - t0
+    bts_cold, _ = build()
     guess_b = jnp.broadcast_to(
         jnp.asarray(bts._ts._guess, x0s.dtype), (BATCH, int(np.size(bts._ts._guess)))
     )
     t0 = time.time()
-    bts._batched.lower(guess_b, x0s)
+    bts_cold._batched.lower(guess_b, x0s)
     trace_s = time.time() - t0
-
-    n_solved = int(jnp.sum(res.state.solved))
-    iters = int(jnp.sum(res.state.total_i))
-    iters_max = int(jnp.max(res.state.total_i))
 
     reps = 2
     t0 = time.time()
@@ -276,6 +275,17 @@ def main():
 
     solves_per_s = BATCH / dt
 
+    # iteration stats describe the LAST TIMED batch (same solves as dt);
+    # lockstep waste is computed over solved lanes only so early failures
+    # cannot inflate it (n_failed reported alongside)
+    solved_mask = np.asarray(res.state.solved)
+    total_i = np.asarray(res.state.total_i)
+    n_solved = int(solved_mask.sum())
+    n_failed = int(BATCH - n_solved)
+    iters = int(total_i.sum())
+    iters_max = int(total_i[solved_mask].max()) if n_solved else 0
+    iters_solved = int(total_i[solved_mask].sum()) if n_solved else 0
+
     # analytic KKT-factorization flop rate + MFU (lower bound: one
     # factorization per inner iteration; the inertia ladder re-factorizes
     # on regularization bumps, which are not counted)
@@ -285,14 +295,16 @@ def main():
     peak = PEAK_FLOPS.get(kind)
     extra = {
         "solved": n_solved,
+        "failed": n_failed,
         "batch": BATCH,
         "tolerance": TOL,
         "total_inner_iterations": iters,
         # lockstep occupancy: vmapped lanes run masked no-ops until the
-        # slowest lane finishes; waste = 1 - mean/max iterations
+        # slowest lane finishes; waste = 1 - mean/max iterations over the
+        # solved lanes of the timed batch
         "iterations_max": iters_max,
-        "lockstep_waste": round(1.0 - iters / (BATCH * iters_max), 3)
-        if iters_max
+        "lockstep_waste": round(1.0 - iters_solved / (n_solved * iters_max), 3)
+        if iters_max and n_solved
         else 0.0,
         "kkt_factorizations_per_s_lower_bound": round(iters / dt, 1),
         "kkt_factorization_gflops_per_s": round(kkt_flops_per_s / 1e9, 3),

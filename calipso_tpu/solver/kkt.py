@@ -550,21 +550,48 @@ def num_zero_eigs(fact: Factorization, method="ldl", structure=None):
             diags = jnp.where(pad, jnp.nan, diags)
         return _tiny_pivots(diags)
     if method == "cr":
+        # level l eliminates the odd entries of the surviving stage list
+        # (original indices (2k+1)*2^l); padded dims stay exactly identity
+        # through every Schur reduction, so the same ragged-stage exclusion
+        # as riccati applies per level
         levels, L_final = fact.cr
-        diags = [jnp.diagonal(L, axis1=-2, axis2=-1).reshape(-1) for L, _, _ in levels]
-        diags.append(jnp.diagonal(L_final))
+        pad = (
+            np.asarray(structure.blk_idx == structure.num_variables)
+            if structure is not None
+            else None
+        )
+        stages = np.arange(len(levels[0][0]) * 2 + 1) if structure is None else np.arange(
+            structure.horizon
+        )
+        diags = []
+        for L, _, _ in levels:
+            dlev = jnp.diagonal(L, axis1=-2, axis2=-1)
+            if pad is not None:
+                dlev = jnp.where(jnp.asarray(pad[stages[1::2]]), jnp.nan, dlev)
+            stages = stages[0::2]
+            diags.append(dlev.reshape(-1))
+        dfin = jnp.diagonal(L_final)
+        if pad is not None:
+            dfin = jnp.where(jnp.asarray(pad[stages[0]]), jnp.nan, dfin)
+        diags.append(dfin)
         return _tiny_pivots(jnp.concatenate(diags))
     if method == "spike":
-        # interior + separator pivots (padded unit pivots of ragged stages
-        # are not excluded here; they only mask a signal when the max
-        # pivot is enormous)
-        diags = jnp.concatenate(
-            [
-                jnp.diagonal(fact.spike["L"], axis1=-2, axis2=-1).reshape(-1),
-                jnp.diagonal(fact.spike["Ls"], axis1=-2, axis2=-1).reshape(-1),
-            ]
-        )
-        return _tiny_pivots(diags)
+        # interior + separator pivots; padded unit pivots of ragged stages
+        # are excluded like the riccati path. Shard p of P owns stages
+        # [p*Tc, (p+1)*Tc) with the chunk's last stage as separator, so the
+        # global interior rows are the non-separator stages in order and
+        # the separator rows are stages Tc-1, 2Tc-1, ...
+        dI = jnp.diagonal(fact.spike["L"], axis1=-2, axis2=-1)  # (T-P, dmax)
+        dS = jnp.diagonal(fact.spike["Ls"], axis1=-2, axis2=-1)  # (P, dmax)
+        if structure is not None:
+            T, P = structure.horizon, dS.shape[0]
+            Tc = T // P
+            pad = np.asarray(structure.blk_idx == structure.num_variables)
+            sep = np.zeros(T, bool)
+            sep[Tc - 1 :: Tc] = True
+            dI = jnp.where(jnp.asarray(pad[~sep]), jnp.nan, dI)
+            dS = jnp.where(jnp.asarray(pad[sep]), jnp.nan, dS)
+        return _tiny_pivots(jnp.concatenate([dI.reshape(-1), dS.reshape(-1)]))
     _, _, zero = inertia_counts(fact.d)
     return zero.astype(jnp.int32)
 

@@ -1,8 +1,6 @@
-"""Trajectory-optimization front-end (stagewise transcription).
-
-Placeholder module: populated by the trajopt milestone (see
-calipso_tpu.trajopt.transcription). Public names re-exported here.
-"""
+"""Trajectory-optimization front-end namespace: re-exports the public
+surface of calipso_tpu.trajopt.transcription (reference
+src/trajectory_optimization/solver.jl exports)."""
 
 from calipso_tpu.trajopt.transcription import (
     TrajOptSolver,

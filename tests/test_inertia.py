@@ -42,12 +42,14 @@ def test_tiny_pivots_schur():
     assert zeros_for(1.0e-30) == 1
 
 
-@pytest.mark.parametrize("method", ["riccati", "cr"])
+@pytest.mark.parametrize("method", ["riccati", "cr", "spike"])
 def test_tiny_pivots_structured(method):
-    """riccati/cr: collapsed stage-block pivots are detected through the
-    block factorizations, excluding the padded unit pivots of ragged
-    stages (kkt.num_zero_eigs)."""
-    horizon = 5
+    """riccati/cr/spike: collapsed stage-block pivots are detected through
+    the block factorizations, excluding the padded unit pivots of ragged
+    stages (kkt.num_zero_eigs). The final pendulum stage is 2-wide in a
+    3-wide block layout (and, for spike, is a chunk separator), so the
+    exclusion covers interior and separator padding."""
+    horizon = 5 if method != "spike" else 16
     ts = TrajOptSolver(
         [lambda x, u, w: x @ x + u @ u] * (horizon - 1) + [lambda x, u, w: x @ x],
         [pendulum.discrete] * (horizon - 1),
@@ -63,17 +65,32 @@ def test_tiny_pivots_structured(method):
         np.random.default_rng(0).normal(size=(2 * (horizon - 1), n))
     )
     hx, s, t = jnp.zeros((0, n)), jnp.zeros((0,)), jnp.zeros((0,))
+    if method == "spike":
+        from jax.sharding import Mesh
 
-    def zeros_for(scale):
-        d = np.ones(n)
-        d[-1] = scale
-        fact = kkt.factorize(
-            layout, jnp.diag(jnp.asarray(d)), gx, hx, s, t, 1.0, 0.0, 0.0, method, st
-        )
+        mesh, axis = Mesh(np.array(jax.devices()), ("horizon",)), "horizon"
+    else:
+        mesh = axis = None
+
+    def zeros_for(scale_last, scale_all=1.0):
+        d = np.full(n, scale_all)
+        d[-1] = scale_last * scale_all
+        # factorize under jit: the spike backend's shard_map needs a traced
+        # context to place its replicated separator factors
+        fact = jax.jit(
+            lambda H: kkt.factorize(
+                layout, H, gx, hx, s, t, 1.0, 0.0, 0.0, method, st, mesh, axis
+            )
+        )(jnp.diag(jnp.asarray(d)))
         return int(kkt.num_zero_eigs(fact, method, st))
 
     assert zeros_for(1.0) == 0
     assert zeros_for(1.0e-30) >= 1
+    # padding-exclusion check: a healthy system whose real pivots are all
+    # enormous pushes the relative tiny-pivot threshold above 1, so
+    # unexcluded padded unit pivots would read as spurious rank deficiency
+    # (the r2 spike defect, kkt.py num_zero_eigs)
+    assert zeros_for(1.0, scale_all=1.0e30) == 0
 
 
 def test_ic2_dual_regularization_converges():
