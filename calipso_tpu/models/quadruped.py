@@ -9,7 +9,13 @@ Controls (8) = hip torques + leg forces. Contacts: 4 feet with friction
 SOC pairs (like the hopper), leg limits as plain inequalities.
 Lagrangian derivatives come from jax.grad of L(q, v) with foot velocities
 via jax.jvp -- no hand-derived mass matrix.
-State: [q1; q2] (22) at t=0, then [q1; q2; gamma(4); x_first(22)] (48).
+State: [q1; q2] (22) at t=0, then [q1; q2; gamma(4)] (26); the gait
+periodicity + travel rows couple the first and last stages through
+`equality_general`, handled by the structured KKT backends as a low-rank
+Schur border (the reference instead augments every stage's state with a
+carried copy of x_1 -- quadruped_gait.jl `loop` over nx + nc + nx states
+-- which widens every stage block 54 -> 76 and costs ~2.8x the
+factorization flops).
 Action u (28) = [u_ctrl(8); gamma(4); beta(8); eta(8)].
 """
 
@@ -108,14 +114,9 @@ def _dyn_core(y, x, u):
     )
 
 
-def dynamics_first(y, x, u):
-    return jnp.concatenate([_dyn_core(y, x, u), y[22:26] - u[8:12], y[26:48] - x])
-
-
-def dynamics_t(y, x, u):
-    return jnp.concatenate(
-        [_dyn_core(y, x, u), y[22:26] - u[8:12], y[26:48] - x[26:48]]
-    )
+def dynamics(y, x, u):
+    # y carries [q2+, q3+, gamma]
+    return jnp.concatenate([_dyn_core(y, x, u), y[22:26] - u[8:12]])
 
 
 def soc_product2(a, b):
@@ -220,7 +221,7 @@ def drop_problem(horizon=8, drop_height=0.1):
     second_order = [soc_stage] * (horizon - 1) + [[]]
 
     state_guess = [x1] + [
-        np.concatenate([x1, np.zeros(4), x1]) for _ in range(horizon - 1)
+        np.concatenate([x1, np.zeros(4)]) for _ in range(horizon - 1)
     ]
     g_quarter = (MASS_BODY + 4 * MASS_FOOT) * GRAVITY * TIMESTEP / 4.0
     action_guess = [
@@ -232,8 +233,8 @@ def drop_problem(horizon=8, drop_height=0.1):
 
     return dict(
         objective=objective,
-        dynamics=[dynamics_first] + [dynamics_t] * (horizon - 2),
-        num_states=[22] + [48] * (horizon - 1),
+        dynamics=[dynamics] * (horizon - 1),
+        num_states=[22] + [26] * (horizon - 1),
         num_actions=[NU] * (horizon - 1),
         equality=equality,
         nonnegative=nonnegative,
@@ -246,9 +247,18 @@ def drop_problem(horizon=8, drop_height=0.1):
 
 def gait_problem(horizon=11, travel=0.2):
     """Periodic gait with a travel requirement (reference
-    quadruped_gait.jl): final (z, pitch, legs) match the carried first
-    state, body advances at least `travel`."""
+    quadruped_gait.jl): the final state repeats the first up to an x-body
+    translation of at least `travel`.
+
+    Stage 0 pins only config 1 (x[0:NQ] = q0), leaving config 2 free --
+    so the config-2 periodicity and travel rows genuinely couple the
+    first and last stages. They ride `equality_general` (reference
+    equality_general.jl:29-113 / quadruped_gait.jl `loop`), which the
+    structured backends absorb as an 11-row low-rank Schur border; the
+    config-1 rows reduce to stage-local constraints against the known q0
+    (same split as the hopper, models/hopper.py)."""
     prob = drop_problem(horizon=horizon, drop_height=0.0)
+    q0 = _nominal_q()
     q_ref = _nominal_q(x=travel)
     x_ref = np.concatenate([q_ref, q_ref])
 
@@ -262,25 +272,48 @@ def gait_problem(horizon=11, travel=0.2):
 
     prob["objective"] = [obj_t] * (horizon - 1) + [obj_T]
 
-    def eq_T(x, u):
-        th = x[26:48]
-        compl = x[22:26] * signed_distance(x[NQ : 2 * NQ])
-        return jnp.concatenate(
-            [compl, x[1:NQ] - th[1:NQ], x[NQ + 1 : 2 * NQ] - th[NQ + 1 : 2 * NQ]]
-        )
+    def eq_1(x, u):
+        # pin config 1 only; config 2 is determined by the periodicity
+        # border + dynamics (hopper eq_1 analogue)
+        return jnp.concatenate([friction_equality(x, u), x[0:NQ] - q0])
 
-    prob["equality"] = prob["equality"][:-1] + [eq_T]
+    def eq_T(x, u):
+        # config-1 periodicity is stage-local: eq_1 pins x_1[0:NQ] = q0,
+        # so x_T[1:NQ] - x_1[1:NQ] reduces to x[1:NQ] - q0[1:NQ]
+        compl = x[22:26] * signed_distance(x[NQ : 2 * NQ])
+        return jnp.concatenate([compl, x[1:NQ] - jnp.asarray(q0)[1:NQ]])
+
+    prob["equality"] = [eq_1] + prob["equality"][1:-1] + [eq_T]
 
     def ineq_T(x, u):
-        th = x[26:48]
+        # config-1 travel is stage-local too (x_1[0] = q0[0] pinned)
         return jnp.concatenate(
             [
-                jnp.array([x[0] - th[0] - travel, x[NQ] - th[NQ] - travel]),
+                jnp.array([x[0] - (q0[0] + travel)]),
                 signed_distance(x[NQ : 2 * NQ]),
             ]
         )
 
     prob["nonnegative"] = prob["nonnegative"][:-1] + [ineq_T]
+
+    n_last = 26  # last-stage state width [q1; q2; gamma]
+
+    def equality_general(z, theta):
+        # config-2 periodicity (10 rows) + exact config-2 travel (1 row)
+        # between the free first-stage config 2 and the last stage
+        # (reference quadruped_gait.jl `loop` + the travel inequality,
+        # made exact like the hopper border -- it is active at the
+        # optimum)
+        q2_first = z[NQ : 2 * NQ]
+        q2_last = z[z.shape[0] - n_last + NQ : z.shape[0] - n_last + 2 * NQ]
+        return jnp.concatenate(
+            [
+                q2_last[1:NQ] - q2_first[1:NQ],
+                q2_last[0:1] - q2_first[0:1] - travel,
+            ]
+        )
+
+    prob["equality_general"] = equality_general
     return prob
 
 

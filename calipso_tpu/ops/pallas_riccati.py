@@ -40,6 +40,15 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _compiler_params():
+    """Raise the Mosaic scoped-VMEM limit: the XLA default (16 MB) is far
+    below the v5e's physical 128 MB VMEM and rejects lane-tiled kernels
+    whose double-buffered blocks + loop temporaries exceed it."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20)
+
+
 def _small_chol(A, d):
     """Lower Cholesky of (d, d) A via right-looking masked updates.
     Mask/reduce formulations only -- Pallas TPU cannot lower dynamic
@@ -158,6 +167,7 @@ def solve_batched_pallas(D, O, b, interpret=False):
             pltpu.VMEM((T, d), dtype),  # u
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(D, O_in, b)
 
 
@@ -297,6 +307,7 @@ def solve_batched_lanes(D, O, b, interpret=False):
             pltpu.VMEM((T, d, B), dtype),  # u
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(Dl, OTl, bl)
     return jnp.transpose(xl, (2, 0, 1))  # (B, T, d)
 
@@ -353,9 +364,11 @@ def _solve_lanes_kernel(L_ref, M_ref, b_ref, x_ref, u_scr, d: int, T: int):
     lax.fori_loop(0, T, bwd_body, jnp.zeros((d, B), dtype))
 
 
-def factor_lanes(D, O, interpret=False):
+def factor_lanes(D, O, interpret=False, batch_tile=None):
     """Batched factor: D (B, T, d, d), O (B, T-1, d, d) -> L (B, T, d, d),
-    M (B, T-1, d, d) (lanes layout internally)."""
+    M (B, T-1, d, d) (lanes layout internally). `batch_tile` grids the
+    lanes axis into B/batch_tile programs so large batches stream through
+    VMEM tile by tile (each tile still fills the 128-lane axis)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -366,28 +379,28 @@ def factor_lanes(D, O, interpret=False):
         jnp.transpose(O, (1, 3, 2, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
     )
     kernel = functools.partial(_factor_lanes_kernel, d=d, T=T)
+    Bt = B if batch_tile is None else batch_tile
+    assert B % Bt == 0, (B, Bt)
+    To = OTl.shape[0]
+    spec = lambda t: pl.BlockSpec((t, d, d, Bt), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM)
     Ll, Ml = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        grid=(B // Bt,),
+        in_specs=[spec(T), spec(To)],
+        out_specs=(spec(T), spec(T)),
         out_shape=(
             jax.ShapeDtypeStruct((T, d, d, B), dtype),
             jax.ShapeDtypeStruct((T, d, d, B), dtype),
         ),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(Dl, OTl)
     L = jnp.transpose(Ll, (3, 0, 1, 2))
     M = jnp.transpose(Ml, (3, 0, 1, 2))[:, : max(T - 1, 0)]
     return L, M
 
 
-def solve_lanes(L, M, b, interpret=False):
+def solve_lanes(L, M, b, interpret=False, batch_tile=None):
     """Batched substitution with factors from factor_lanes."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -403,18 +416,182 @@ def solve_lanes(L, M, b, interpret=False):
         Ml = jnp.concatenate([Ml, jnp.zeros((T - Ml.shape[0], d, d, B), dtype)], axis=0)
     bl = jnp.transpose(b, (1, 2, 0))
     kernel = functools.partial(_solve_lanes_kernel, d=d, T=T)
+    Bt = B if batch_tile is None else batch_tile
+    assert B % Bt == 0, (B, Bt)
+    mspec = pl.BlockSpec((T, d, d, Bt), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((T, d, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     xl = pl.pallas_call(
         kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=(B // Bt,),
+        in_specs=[mspec, mspec, vspec],
+        out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((T, d, B), dtype),
-        scratch_shapes=[pltpu.VMEM((T, d, B), dtype)],
+        scratch_shapes=[pltpu.VMEM((T, d, Bt), dtype)],
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )(Ll, Ml, bl)
+    return jnp.transpose(xl, (2, 0, 1))
+
+
+# ---- T-streaming variants ---------------------------------------------------
+# For stage blocks too large to keep the whole horizon resident in VMEM
+# (e.g. contact problems, d ~ 54): grid (B/Bt, T) streams one stage block
+# per grid step; the Riccati carry (M_prev / u_prev / x_next) lives in a
+# scratch buffer that persists across the sequential TPU grid steps, reset
+# at t == 0 of each batch tile.
+
+
+def _factor_stream_kernel(D_ref, OT_ref, L_ref, M_ref, Mprev, d: int, T: int):
+    from jax.experimental import pallas as pl
+
+    dtype = D_ref.dtype
+    B = D_ref.shape[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        Mprev[...] = jnp.zeros((d, d, B), dtype)
+
+    def mtm(M):
+        out = jnp.zeros((d, d, B), dtype)
+        for i in range(d):
+            row = jnp.sum(
+                jnp.where(lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0) == i, M, 0.0),
+                axis=0,
+            )
+            out = out + row[:, None, :] * row[None, :, :]
+        return out
+
+    S = D_ref[0] - mtm(Mprev[...])
+    L = _chol_lanes(S, d)
+    L_ref[0] = L
+    Mt = _trisolve_lanes(L, OT_ref[0], d)
+    Mt = jnp.where(t < T - 1, Mt, jnp.zeros_like(Mt))
+    M_ref[0] = Mt
+    Mprev[...] = Mt
+
+
+def factor_lanes_stream(D, O, batch_tile, interpret=False):
+    """T-streaming batched factor (same contract as factor_lanes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, d, _ = D.shape
+    dtype = D.dtype
+    Dl = jnp.transpose(D, (1, 2, 3, 0))
+    OTl = (
+        jnp.transpose(O, (1, 3, 2, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
+    )
+    To = OTl.shape[0]
+    Bt = batch_tile
+    assert B % Bt == 0, (B, Bt)
+    kernel = functools.partial(_factor_stream_kernel, d=d, T=T)
+    spec = lambda imap: pl.BlockSpec((1, d, d, Bt), imap, memory_space=pltpu.VMEM)
+    Ll, Ml = pl.pallas_call(
+        kernel,
+        grid=(B // Bt, T),
+        in_specs=[
+            spec(lambda i, t: (t, 0, 0, i)),
+            spec(lambda i, t: (jnp.minimum(t, To - 1), 0, 0, i)),
+        ],
+        out_specs=(spec(lambda i, t: (t, 0, 0, i)), spec(lambda i, t: (t, 0, 0, i))),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, d, d, B), dtype),
+            jax.ShapeDtypeStruct((T, d, d, B), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((d, d, Bt), dtype)],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(Dl, OTl)
+    L = jnp.transpose(Ll, (3, 0, 1, 2))
+    M = jnp.transpose(Ml, (3, 0, 1, 2))[:, : max(T - 1, 0)]
+    return L, M
+
+
+def _solve_fwd_stream_kernel(L_ref, M_ref, b_ref, u_ref, uprev, d: int, T: int):
+    from jax.experimental import pallas as pl
+
+    dtype = L_ref.dtype
+    B = L_ref.shape[-1]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        uprev[...] = jnp.zeros((d, B), dtype)
+
+    Mprev = jnp.where(t > 0, M_ref[0], jnp.zeros((d, d, B), dtype))
+    bt = b_ref[0] - jnp.sum(Mprev * uprev[...][:, None, :], axis=0)
+    u = _trisolve_lanes(L_ref[0], bt[:, None, :], d)[:, 0, :]
+    u_ref[0] = u
+    uprev[...] = u
+
+
+def _solve_bwd_stream_kernel(L_ref, M_ref, u_ref, x_ref, xnext, d: int, T: int):
+    from jax.experimental import pallas as pl
+
+    dtype = L_ref.dtype
+    B = L_ref.shape[-1]
+    t = pl.program_id(1)
+    s = T - 1 - t
+
+    @pl.when(t == 0)
+    def _():
+        xnext[...] = jnp.zeros((d, B), dtype)
+
+    Mt = jnp.where(s < T - 1, M_ref[0], jnp.zeros((d, d, B), dtype))
+    rhs = u_ref[0] - jnp.sum(Mt * xnext[...][None, :, :], axis=1)
+    x = _trisolve_T_lanes(L_ref[0], rhs[:, None, :], d)[:, 0, :]
+    x_ref[0] = x
+    xnext[...] = x
+
+
+def solve_lanes_stream(L, M, b, batch_tile, interpret=False):
+    """T-streaming batched substitution (same contract as solve_lanes)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, T, d, _ = L.shape
+    dtype = L.dtype
+    Ll = jnp.transpose(L, (1, 2, 3, 0))
+    Ml = (
+        jnp.transpose(M, (1, 2, 3, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
+    )
+    To = Ml.shape[0]
+    bl = jnp.transpose(b, (1, 2, 0))
+    Bt = batch_tile
+    assert B % Bt == 0, (B, Bt)
+    mspec = lambda imap: pl.BlockSpec((1, d, d, Bt), imap, memory_space=pltpu.VMEM)
+    vspec = lambda imap: pl.BlockSpec((1, d, Bt), imap, memory_space=pltpu.VMEM)
+    fwd = functools.partial(_solve_fwd_stream_kernel, d=d, T=T)
+    Ul = pl.pallas_call(
+        fwd,
+        grid=(B // Bt, T),
+        in_specs=[
+            mspec(lambda i, t: (t, 0, 0, i)),
+            mspec(lambda i, t: (jnp.minimum(jnp.maximum(t - 1, 0), To - 1), 0, 0, i)),
+            vspec(lambda i, t: (t, 0, i)),
+        ],
+        out_specs=vspec(lambda i, t: (t, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((T, d, B), dtype),
+        scratch_shapes=[pltpu.VMEM((d, Bt), dtype)],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(Ll, Ml, bl)
+    bwd = functools.partial(_solve_bwd_stream_kernel, d=d, T=T)
+    xl = pl.pallas_call(
+        bwd,
+        grid=(B // Bt, T),
+        in_specs=[
+            mspec(lambda i, t: (T - 1 - t, 0, 0, i)),
+            mspec(lambda i, t: (jnp.minimum(T - 1 - t, To - 1), 0, 0, i)),
+            vspec(lambda i, t: (T - 1 - t, 0, i)),
+        ],
+        out_specs=vspec(lambda i, t: (T - 1 - t, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((T, d, B), dtype),
+        scratch_shapes=[pltpu.VMEM((d, Bt), dtype)],
+        interpret=interpret,
+        compiler_params=_compiler_params(),
+    )(Ll, Ml, Ul)
     return jnp.transpose(xl, (2, 0, 1))
 
 

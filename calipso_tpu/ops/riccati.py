@@ -94,27 +94,55 @@ def _use_pallas(axis_size, T, d, dtype):
     """Route to the Pallas kernels only in their measured winning regime
     (blocks large enough to amortize the masked ops, batch wide enough to
     fill lanes; 2.8x standalone at B=128, T=21, d=8 on a v5e; +8-10%
-    end-to-end on batched rocket solves with identical iteration counts).
+    end-to-end on batched rocket solves with identical iteration counts;
+    ~17x on the T=1 dense (schur) factorization at B=2048, d=32 vs the
+    XLA batched Cholesky custom-call). Batches whose VMEM footprint
+    exceeds one block are streamed through a lanes-axis grid
+    (batch_tile); returns the tile size, or None for the XLA fallback.
     Default ON; CALIPSO_PALLAS_RICCATI=0 is the kill switch (an earlier
     Mosaic remote-compile hang inside vmapped while_loop nests no longer
     reproduces -- re-validated at B=32/128, T=31/61/101, d=9)."""
     import os
 
     if os.environ.get("CALIPSO_PALLAS_RICCATI", "1") != "1":
-        return False
+        return None
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         on_tpu = False
-    vmem_bytes = 4 * axis_size * T * d * d * dtype.itemsize
-    return (
+    if not (
         on_tpu
-        and T >= 2
-        and d >= 6
+        and T >= 1
+        and (d >= 6 if T > 1 else d >= 8)
         and axis_size >= 32
         and dtype == jnp.float32
-        and vmem_bytes < 8 * 2**20
-    )
+    ):
+        return None
+    # pick the largest lanes tile that fits the 16 MB scoped-VMEM limit:
+    # 4 grid-streamed buffers, double-buffered by Mosaic, plus ~2
+    # buffer-sized loop temporaries -> ~10x one buffer's bytes. A
+    # "resident" tile holds the whole (T, d, d, Bt) horizon in VMEM; when
+    # no tile fits, fall back to streaming one (d, d, Bt) stage block per
+    # grid step ("stream", pallas_riccati.*_stream). Mosaic requires
+    # lane-axis blocks to be multiples of 128 (or the whole axis), so
+    # partial tiles below 128 are only usable when they cover the full
+    # batch. Returns (mode, tile) or None for the XLA fallback.
+    def fits(tile, steps):
+        # ~10 buffer-sized allocations against the raised 96 MB Mosaic
+        # scoped-VMEM limit (pallas_riccati._compiler_params), with margin
+        return 10 * tile * steps * d * d * dtype.itemsize < 60 * 2**20
+
+    for tile in (2048, 1024, 512, 256, 128):
+        if axis_size % tile == 0 and fits(tile, T):
+            return ("resident", tile)
+    if axis_size < 128 and fits(axis_size, T):
+        return ("resident", axis_size)
+    for tile in (512, 256, 128):
+        if axis_size % tile == 0 and fits(tile, 1):
+            return ("stream", tile)
+    if axis_size < 128 and fits(axis_size, 1):
+        return ("stream", axis_size)
+    return None
 
 
 def _bcast(x, batched, axis_size):
@@ -130,10 +158,15 @@ def factor_cv(D, O):
 def _factor_vmap(axis_size, in_batched, D, O):
     D = _bcast(D, in_batched[0], axis_size)
     O = _bcast(O, in_batched[1], axis_size)
-    if _use_pallas(axis_size, D.shape[1], D.shape[2], D.dtype):
+    route = _use_pallas(axis_size, D.shape[1], D.shape[2], D.dtype)
+    if route:
         from calipso_tpu.ops import pallas_riccati as pr
 
-        out = pr.factor_lanes(D, O)
+        mode, tile = route
+        if mode == "stream":
+            out = pr.factor_lanes_stream(D, O, batch_tile=tile)
+        else:
+            out = pr.factor_lanes(D, O, batch_tile=tile)
     else:
         out = jax.vmap(factor)(D, O)
     return out, (True, True)
@@ -144,15 +177,82 @@ def solve_cv(L, M, b):
     return solve(L, M, b)
 
 
+@custom_vmap
+def chol_cv(S):
+    """Dense lower Cholesky whose BATCHED form routes to the Pallas lanes
+    kernel (the T=1 case of the Riccati factorization). The XLA batched
+    `Cholesky` custom-call is the single hottest op of a batched schur
+    solve on TPU (measured 6.9 ms per (2048, 32, 32) call on a v5e, ~40%
+    of the whole flagship solve); the lanes kernel does the same
+    factorization in VMEM across the lane axis."""
+    return jnp.linalg.cholesky(S)
+
+
+@chol_cv.def_vmap
+def _chol_vmap(axis_size, in_batched, S):
+    S = _bcast(S, in_batched[0], axis_size)
+    n = S.shape[-1]
+    route = _use_pallas(axis_size, 1, n, S.dtype)
+    if route:
+        from calipso_tpu.ops import pallas_riccati as pr
+
+        L, _ = pr.factor_lanes(
+            S[:, None], jnp.zeros((axis_size, 0, n, n), S.dtype), batch_tile=route[1]
+        )
+        out = L[:, 0]
+    else:
+        out = jnp.linalg.cholesky(S)
+    return out, True
+
+
+@custom_vmap
+def chol_solve_cv(L, b):
+    """Solve L L' x = b for one right-hand side; batched form rides the
+    Pallas lanes substitution kernel (T=1)."""
+    y = jax.scipy.linalg.solve_triangular(L, b[:, None], lower=True)
+    x = jax.scipy.linalg.solve_triangular(L, y, lower=True, trans="T")
+    return x[:, 0]
+
+
+@chol_solve_cv.def_vmap
+def _chol_solve_vmap(axis_size, in_batched, L, b):
+    L = _bcast(L, in_batched[0], axis_size)
+    b = _bcast(b, in_batched[1], axis_size)
+    n = L.shape[-1]
+    route = _use_pallas(axis_size, 1, n, L.dtype)
+    if route:
+        from calipso_tpu.ops import pallas_riccati as pr
+
+        x = pr.solve_lanes(
+            L[:, None],
+            jnp.zeros((axis_size, 0, n, n), L.dtype),
+            b[:, None],
+            batch_tile=route[1],
+        )[:, 0]
+    else:
+
+        def one(Li, bi):
+            y = jax.scipy.linalg.solve_triangular(Li, bi[:, None], lower=True)
+            return jax.scipy.linalg.solve_triangular(Li, y, lower=True, trans="T")[:, 0]
+
+        x = jax.vmap(one)(L, b)
+    return x, True
+
+
 @solve_cv.def_vmap
 def _solve_vmap(axis_size, in_batched, L, M, b):
     L = _bcast(L, in_batched[0], axis_size)
     M = _bcast(M, in_batched[1], axis_size)
     b = _bcast(b, in_batched[2], axis_size)
-    if _use_pallas(axis_size, L.shape[1], L.shape[2], L.dtype):
+    route = _use_pallas(axis_size, L.shape[1], L.shape[2], L.dtype)
+    if route:
         from calipso_tpu.ops import pallas_riccati as pr
 
-        out = pr.solve_lanes(L, M, b)
+        mode, tile = route
+        if mode == "stream":
+            out = pr.solve_lanes_stream(L, M, b, batch_tile=tile)
+        else:
+            out = pr.solve_lanes(L, M, b, batch_tile=tile)
     else:
         out = jax.vmap(solve)(L, M, b)
     return out, True

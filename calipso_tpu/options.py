@@ -97,8 +97,12 @@ class Options:
     constraint_tensor: bool = True
 
     # linear-solver backend:
-    #   "auto"    -> "riccati" for trajopt problems without general
-    #                equality constraints, else "schur"
+    #   "auto"    -> "riccati" for trajopt problems with more than ~96
+    #                variables (general equality rows ride the low-rank
+    #                border), else "schur" (one dense Cholesky of the
+    #                (n, n) primal Schur complement beats the T-step
+    #                Riccati scan for small n; measured crossover n ~ 90
+    #                on a v5e)
     #   "riccati" -> block-tridiagonal Cholesky over stage blocks
     #                (lax.scan Riccati sweep; O(T d^3) per factorization)
     #   "cr"      -> parallel-in-time block cyclic reduction over stages

@@ -386,7 +386,10 @@ def factorize(
         Cinv_hx = cones.c_block_solve(layout, s, t, eps_p, eps_d, hx)
         S = S + hx.T @ Cinv_hx
     S = 0.5 * (S + S.T)
-    L = jnp.linalg.cholesky(S)
+    from calipso_tpu.ops import riccati as rc
+
+    # batched callers route to the Pallas lanes Cholesky (rc.chol_cv doc)
+    L = rc.chol_cv(S)
     return Factorization(L, e0, e3, gx, hx, s, t, rho, eps_p, eps_d)
 
 
@@ -649,11 +652,13 @@ def solve_sym(
             dx = jax.vmap(structure.from_blocks, in_axes=2, out_axes=1)(X)
         dx = _apply_border(fact, structure, dx)
     else:
-        b = rhs_x[:, None] if vec else rhs_x
-        y = jax.scipy.linalg.solve_triangular(fact.L, b, lower=True)
-        dx = jax.scipy.linalg.solve_triangular(fact.L, y, lower=True, trans="T")
         if vec:
-            dx = dx[:, 0]
+            from calipso_tpu.ops import riccati as rc
+
+            dx = rc.chol_solve_cv(fact.L, rhs_x)
+        else:
+            y = jax.scipy.linalg.solve_triangular(fact.L, rhs_x, lower=True)
+            dx = jax.scipy.linalg.solve_triangular(fact.L, y, lower=True, trans="T")
     dy = (fact.gx @ dx - req) / ceq if me > 0 else req
     if mc > 0:
         dz = cones.c_block_solve(

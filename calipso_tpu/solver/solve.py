@@ -33,8 +33,13 @@ BIG = 1.0e8  # empty-filter sentinel (reference filter.jl:8-13)
 
 
 def resolve_options(opts, fns):
-    """Resolve linear_solver='auto': riccati for trajopt problems (general
-    equality rows ride the low-rank border), dense Schur otherwise."""
+    """Resolve linear_solver='auto': riccati for large trajopt problems
+    (general equality rows ride the low-rank border), dense Schur
+    otherwise. Small trajopt problems also take the dense path: one
+    batched Cholesky of the (n, n) primal Schur complement beats the
+    T-step Riccati scan until n ~ 90 on a v5e (measured crossover on the
+    batched pendulum family: schur 2.8x at n=32, 1.7x at n=62, riccati
+    1.2x at n=122, 1.4x at n=242)."""
     if opts.line_search_mode == "auto":
         opts = opts.replace(
             line_search_mode=(
@@ -45,7 +50,9 @@ def resolve_options(opts, fns):
         return opts
     structure = getattr(fns, "stage_structure", None)
     return opts.replace(
-        linear_solver="riccati" if structure is not None else "schur"
+        linear_solver=(
+            "riccati" if structure is not None and fns.dims.variables > 96 else "schur"
+        )
     )
 
 

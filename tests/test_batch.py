@@ -57,7 +57,10 @@ def _swingup_trajopt(**opt_kw):
         for k, v in prob.items()
         if k not in ("state_guess", "state_initial", "state_goal")
     }
-    ts = TrajOptSolver(options=Options(**opt_kw), **kw)
+    # pin riccati: these tests exercise the structured backend under
+    # vmap/sharding ('auto' resolves small-n trajopt to schur since the
+    # measured n<=96 crossover, solve.py resolve_options)
+    ts = TrajOptSolver(options=Options(linear_solver="riccati", **opt_kw), **kw)
     assert ts.solver.options.linear_solver == "riccati"
     xg = np.array([np.pi, 0.0])
     ts.initialize_states([xg * t / 10 for t in range(11)])
