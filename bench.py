@@ -100,7 +100,7 @@ def build():
     ts.initialize_states([np.asarray(xg) * t / (H - 1) for t in range(H)])
     bts = ts.batched()
     stage_dims = [nx + nu for nx, nu in zip(ts.num_states, ts.num_actions)]
-    return bts, stage_dims
+    return bts, stage_dims, ts
 
 
 _BASELINE_SNIPPET = r"""
@@ -154,6 +154,199 @@ def measure_cpu_baseline(k=16):
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
+
+
+def measure_ceilings():
+    """Measured practical ceilings on THIS chip, for honest roofline
+    percentages (BASELINE.json north star; SURVEY.md section 6): HBM
+    stream bandwidth, big-matmul f32 throughput at the solver's
+    matmul_precision='highest' (the 6-pass bf16 path -- the relevant MXU
+    ceiling, NOT the marketing bf16 peak), and VPU elementwise-FMA
+    throughput (the unit that bounds batched small-matrix factorization:
+    per-lane d x d blocks cannot tile onto the 128x128 MXU)."""
+    import jax
+
+    from jax import lax
+
+    out = {}
+    K = 20  # iterations inside ONE jit: the tunnel's per-dispatch latency
+    # (tens of ms) would otherwise dominate every sub-100 ms measurement
+
+    def timed(fn, *args):
+        jax.block_until_ready(fn(*args))
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        return time.time() - t0
+
+    # HBM: K dependent big copies (read + write each)
+    x = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
+
+    @jax.jit
+    def copies(a):
+        # sqrt(v^2 + c): non-foldable across while iterations (linear +c
+        # or rev/transpose chains get algebraically collapsed into one
+        # pass), ~3 flops/element so still firmly bandwidth-bound
+        return lax.fori_loop(0, K, lambda i, v: jnp.sqrt(v * v + 1e-3), a)
+
+    dt = timed(copies, x)
+    out["hbm_gbps_measured"] = round(K * 2 * x.size * 4 / dt / 1e9, 1)
+
+    # MXU f32-highest matmul chain
+    a = jnp.eye(4096, dtype=jnp.float32) + 1e-6
+
+    @jax.jit
+    def mms(m):
+        with jax.default_matmul_precision("highest"):
+            return lax.fori_loop(0, K, lambda i, v: 0.99 * (v @ a), m)
+
+    dt = timed(mms, a)
+    out["mxu_f32_highest_gflops_measured"] = round(K * 2 * 4096**3 / dt / 1e9, 0)
+
+    # VPU: compute-bound FMA chain on a VMEM-sized block (64 FMAs per
+    # element per pass, one read+write per pass -> arithmetic-bound)
+    y = jnp.ones((512, 1024), jnp.float32)
+
+    @jax.jit
+    def fmas(v):
+        def body(i, v):
+            for _ in range(64):
+                v = v * 1.0000001 + 1e-7
+            return v
+
+        return lax.fori_loop(0, 64 * K, body, v)
+
+    dt = timed(fmas, y)
+    out["vpu_fma_gflops_measured"] = round(64 * K * 64 * 2 * y.size / dt / 1e9, 0)
+    return out
+
+
+# analytic per-stage factorization work for the block-tridiagonal
+# Cholesky (ops/riccati.py): chol(S_t) d^3/3 + M_t = L^-1 O' d^3 +
+# M'M update 2 d^3 multiply-add-counted flops
+FACTOR_FLOPS_PER_STAGE = lambda d: (1.0 / 3.0 + 1.0 + 2.0) * d**3
+# HBM bytes per factorization: read D, O; write L, M (f32)
+FACTOR_BYTES_PER_STAGE = lambda d: 4 * d * d * 4
+
+
+def bench_kernel_roofline(ceil):
+    """Isolated KKT-factorization kernel rates vs the measured ceilings
+    (SURVEY.md section 6 'KKT factorizations/s/chip vs roofline'):
+    the contact-problem shape (B=256 lanes of T=8, d=54 -- the batched
+    quadruped drop) and the flagship dense-schur shape (B=2048, n=32,
+    T=1). Reports achieved GFLOP/s and GB/s plus the percentage of the
+    binding ceiling: these lanes kernels are VPU-bound by design (batched
+    per-lane small-matrix algebra cannot tile onto the 128x128 MXU; the
+    masked-update formulation does ~2x redundant element work on top of
+    the flop count), so the binding roofline is min(VPU, HBM)."""
+    from calipso_tpu.ops import riccati as rc
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for tag, B, T, d in (("quadruped_d54", 256, 8, 54), ("flagship_n32", 2048, 1, 32)):
+        D = rng.normal(size=(B, T, d, d)).astype(np.float32)
+        D = jnp.asarray(D @ np.transpose(D, (0, 1, 3, 2)) + 8 * d * np.eye(d, dtype=np.float32))
+        O = jnp.asarray(0.1 * rng.normal(size=(B, max(T - 1, 0), d, d)).astype(np.float32))
+        with jax.default_matmul_precision("highest"):
+            f = jax.jit(lambda D, O: jax.vmap(rc.factor_cv)(D, O))
+            jax.block_until_ready(f(D, O))
+            reps = 20
+            t0 = time.time()
+            for _ in range(reps):
+                L, M = f(D, O)
+            jax.block_until_ready(L)
+            dt = (time.time() - t0) / reps
+        flops = B * T * FACTOR_FLOPS_PER_STAGE(d)
+        bts = B * T * FACTOR_BYTES_PER_STAGE(d)
+        gflops = flops / dt / 1e9
+        gbps = bts / dt / 1e9
+        vpu, hbm = ceil["vpu_fma_gflops_measured"], ceil["hbm_gbps_measured"]
+        out[f"kernel_{tag}"] = {
+            "factorizations_per_s": round(B / dt, 0),
+            "gflops": round(gflops, 1),
+            "gbps": round(gbps, 1),
+            "pct_vpu_ceiling": round(100 * gflops / vpu, 1),
+            "pct_hbm_ceiling": round(100 * gbps / hbm, 1),
+            "pct_mxu_f32_ceiling": round(
+                100 * gflops / ceil["mxu_f32_highest_gflops_measured"], 1
+            ),
+        }
+    return out
+
+
+def bench_quadruped_batch():
+    """Batched large-d contact workload (the MXU/VPU-regime flagship the
+    round-2 verdict asked for): B parameterized quadruped drops (stage
+    blocks d=54 after the equality_general rework -- 11-DOF planar
+    quadruped, 4 friction-SOC contacts, reference quadruped_drop.jl
+    class) solved in lockstep on the riccati backend, with analytic
+    factorization flops AND bytes per iteration and achieved rates vs the
+    measured ceilings."""
+    from calipso_tpu import TrajOptSolver
+    from calipso_tpu.models import quadruped
+
+    B = int(os.environ.get("BENCH_QUAD_BATCH", "128"))
+    H = 8
+    # XLA-scan factorization path inside this solve: the d=54 streaming
+    # Pallas kernels fault the TPU device when composed into the solver's
+    # vmapped while_loop nest (standalone they are correct and 3.9x
+    # faster -- kernel_quadruped_d54 above measures them); until the
+    # Mosaic fault is isolated the end-to-end number takes the safe path
+    prev = os.environ.get("CALIPSO_PALLAS_RICCATI")
+    if os.environ.get("BENCH_QUAD_PALLAS", "0") != "1":
+        os.environ["CALIPSO_PALLAS_RICCATI"] = "0"
+    prob = quadruped.mpc_problem(horizon=H)
+    kw = {
+        k: v
+        for k, v in prob.items()
+        if k not in ("state_guess", "state_initial", "state_goal", "action_guess")
+    }
+    ts = TrajOptSolver(options=_tol_options(max_iterative_refinement=2), **kw)
+    ts.initialize_states([np.asarray(s, np.float32) for s in prob["state_guess"]])
+    ts.initialize_actions([np.asarray(a, np.float32) for a in prob["action_guess"]])
+    bts = ts.batched()
+
+    # scenario: per-lane initial state = nominal stance dropped from a
+    # per-lane height in [0.02, 0.10]
+    rng = np.random.default_rng(0)
+    heights = rng.uniform(0.02, 0.10, size=(B,))
+    q0 = quadruped._nominal_q()
+    x0 = np.tile(np.concatenate([q0, q0])[None], (B, 1))
+    x0[:, 1] += heights
+    x0[:, 11 + 1] += heights
+    th = jnp.asarray(x0, jnp.float32)
+
+    t0 = time.time()
+    res = bts.solve(parameters=th)
+    jax.block_until_ready(res.state.p.x)
+    compile_s = time.time() - t0
+    reps = 2
+    t0 = time.time()
+    for _ in range(reps):
+        res = bts.solve(parameters=th)
+        jax.block_until_ready(res.state.p.x)
+    dt = (time.time() - t0) / reps
+
+    if prev is None:
+        os.environ.pop("CALIPSO_PALLAS_RICCATI", None)
+    else:
+        os.environ["CALIPSO_PALLAS_RICCATI"] = prev
+    solved_mask = np.asarray(res.state.solved)
+    total_i = np.asarray(res.state.total_i)
+    iters = int(total_i.sum())
+    dmax = max(nx + nu for nx, nu in zip(ts.num_states, ts.num_actions))
+    fact_flops = iters * H * FACTOR_FLOPS_PER_STAGE(dmax)
+    fact_bytes = iters * H * FACTOR_BYTES_PER_STAGE(dmax)
+    return {
+        "quadruped_batch": B,
+        "quadruped_solved": int(solved_mask.sum()),
+        "quadruped_solves_per_s": round(B / dt, 1),
+        "quadruped_stage_block_d": dmax,
+        "quadruped_total_inner_iterations": iters,
+        "quadruped_per_batch_wall_s": round(dt, 3),
+        "quadruped_compile_s": round(compile_s, 1),
+        "quadruped_fact_gflops_per_s_lower_bound": round(fact_flops / dt / 1e9, 1),
+        "quadruped_fact_gbps_lower_bound": round(fact_bytes / dt / 1e9, 2),
+    }
 
 
 def bench_rocket101():
@@ -244,7 +437,7 @@ def bench_hopper_gait():
 
 
 def main():
-    bts, stage_dims = build()
+    bts, stage_dims, ts = build()
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
 
@@ -257,7 +450,7 @@ def main():
     res = bts.solve(parameters=x0s)
     jax.block_until_ready(res.state.p.x)
     compile_s = time.time() - t0
-    bts_cold, _ = build()
+    bts_cold, _, _ = build()
     guess_b = jnp.broadcast_to(
         jnp.asarray(bts._ts._guess, x0s.dtype), (BATCH, int(np.size(bts._ts._guess)))
     )
@@ -288,9 +481,20 @@ def main():
 
     # analytic KKT-factorization flop rate + MFU (lower bound: one
     # factorization per inner iteration; the inertia ladder re-factorizes
-    # on regularization bumps, which are not counted)
-    fact_flops_per_lane = sum((8.0 / 3.0) * d**3 for d in stage_dims)
+    # on regularization bumps, which are not counted). The flagship's
+    # resolved backend is schur (dense Cholesky of the n x n primal Schur
+    # complement -- n <= 96 crossover, solve.py resolve_options), so the
+    # per-iteration factorization is one n^3/3 Cholesky.
+    backend = ts.solver.options.linear_solver
+    n_schur = ts.num_variables
+    if backend == "schur":
+        fact_flops_per_lane = n_schur**3 / 3.0
+        fact_bytes_per_lane = 2 * n_schur * n_schur * 4  # read S, write L
+    else:
+        fact_flops_per_lane = sum(FACTOR_FLOPS_PER_STAGE(d) for d in stage_dims)
+        fact_bytes_per_lane = sum(FACTOR_BYTES_PER_STAGE(d) for d in stage_dims)
     kkt_flops_per_s = iters / dt * fact_flops_per_lane
+    kkt_bytes_per_s = iters / dt * fact_bytes_per_lane
     kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(kind)
     extra = {
@@ -307,7 +511,9 @@ def main():
         if iters_max and n_solved
         else 0.0,
         "kkt_factorizations_per_s_lower_bound": round(iters / dt, 1),
+        "kkt_backend": backend,
         "kkt_factorization_gflops_per_s": round(kkt_flops_per_s / 1e9, 3),
+        "kkt_factorization_gbps": round(kkt_bytes_per_s / 1e9, 3),
         "mfu_vs_bf16_peak": (
             round(kkt_flops_per_s / peak, 9) if peak else None
         ),
@@ -317,6 +523,19 @@ def main():
         "compile_cache_dir": jax.config.jax_compilation_cache_dir,
         "per_batch_wall_s": round(dt, 3),
     }
+    try:
+        if os.environ.get("BENCH_SKIP_ROOFLINE", "0") != "1":
+            ceil = measure_ceilings()
+            extra.update(ceil)
+            extra.update(bench_kernel_roofline(ceil))
+            # flagship workload vs measured ceilings (end-to-end, so every
+            # non-factorization op of the solve counts against it)
+            if ceil.get("vpu_fma_gflops_measured"):
+                extra["kkt_pct_vpu_ceiling_end_to_end"] = round(
+                    100 * kkt_flops_per_s / 1e9 / ceil["vpu_fma_gflops_measured"], 2
+                )
+    except Exception as e:
+        extra["roofline_error"] = repr(e)[:200]
     try:
         if os.environ.get("BENCH_SKIP_BASELINE", "0") != "1":
             extra.update(measure_cpu_baseline())
@@ -332,6 +551,14 @@ def main():
             extra.update(bench_hopper_gait())
     except Exception as e:
         extra["hopper_gait_error"] = repr(e)[:200]
+    # LAST: a TPU-device fault in a kernel leaves the device unusable for
+    # the rest of the process, so the biggest program runs after
+    # everything else has been measured
+    try:
+        if os.environ.get("BENCH_SKIP_QUAD", "0") != "1":
+            extra.update(bench_quadruped_batch())
+    except Exception as e:
+        extra["quadruped_error"] = repr(e)[:200]
 
     base = extra.get("cpu_sequential_solves_per_s")
     print(

@@ -28,14 +28,46 @@ import jax as _jax
 # shapes every process. Measured on a v5e: pendulum batch B=2048 cold
 # 28.5 s -> warm 7.1 s end-to-end. Opt out with CALIPSO_TPU_NO_CACHE=1;
 # an existing user-configured cache dir is never overridden.
-if not _os.environ.get("CALIPSO_TPU_NO_CACHE"):
+def _host_cache_tag():
+    """Host fingerprint for the cache path: XLA:CPU cache entries embed
+    AOT machine code for the COMPILING host's CPU features, and loading
+    an entry produced on a different machine can SIGILL/segfault (seen
+    when a cache directory migrates between build hosts). Keying the
+    directory by the CPU feature set makes foreign entries invisible."""
+    import hashlib as _hashlib
+    import platform as _platform
+
+    flags = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as _f:
+            for _line in _f:
+                if _line.startswith(("flags", "Features")):
+                    flags += _line
+                    break
+    except OSError:
+        pass
+    return _hashlib.sha1(flags.encode()).hexdigest()[:10]
+
+
+def _cache_is_safe():
+    """The persistent cache is only enabled for explicitly non-CPU
+    platforms: XLA:CPU cache entries embed AOT machine code whose
+    deserialization can SIGILL/segfault when the compile-time feature set
+    disagrees with the host (observed in this image: cpu_aot_loader warns
+    'machine type ... doesn't match' and a d=54 contact program crashes
+    in deserialize_executable). TPU entries are backend-portable."""
+    plat = _jax.config.jax_platforms or _os.environ.get("JAX_PLATFORMS", "")
+    return bool(plat) and "cpu" not in plat.lower()
+
+
+if not _os.environ.get("CALIPSO_TPU_NO_CACHE") and _cache_is_safe():
     if _jax.config.jax_compilation_cache_dir is None:
         _jax.config.update(
             "jax_compilation_cache_dir",
             _os.path.join(
                 _os.path.expanduser(_os.environ.get("XDG_CACHE_HOME", "~/.cache")),
                 "calipso_tpu",
-                "xla",
+                f"xla-{_host_cache_tag()}",
             ),
         )
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

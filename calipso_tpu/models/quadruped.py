@@ -317,6 +317,100 @@ def gait_problem(horizon=11, travel=0.2):
     return prob
 
 
+# leg-pair mirror for the half-cycle gait (reference quadruped_gait_v2.jl
+# `perm`: body coordinates fixed, the two legs of each pair swap): legs
+# (0, 1) at hips (0.3, 0.1) and (2, 3) at hips (-0.1, -0.3)
+_MIRROR_IDX = np.array([0, 1, 2, 5, 6, 3, 4, 9, 10, 7, 8])
+
+
+def mirror_config(q):
+    return q[jnp.asarray(_MIRROR_IDX)]
+
+
+def gait_problem_v2(horizon=11, travel=0.2, t_fix=4):
+    """Mirrored half-cycle gait with a foot-pinning stance phase
+    (reference examples/contact_implicit/quadruped_gait_v2.jl): for the
+    first `t_fix` stages, feet 1 and 3 are pinned to their nominal ground
+    positions (per-stage equality, reference pinned1/pinned2); the final
+    state must repeat the MIRRORED first state advanced by `travel`
+    (reference `loop` with the leg-pair permutation) -- the mirror
+    periodicity rides the same 11-row `equality_general` Schur border as
+    gait_problem."""
+    prob = drop_problem(horizon=horizon, drop_height=0.0)
+    q0 = _nominal_q()
+    q_ref = _nominal_q(x=travel)
+    x_ref = np.concatenate([q_ref, q_ref])
+    p_pin = [np.asarray(foot_position(jnp.asarray(q0), i)) for i in (1, 3)]
+
+    def obj_t(x, u):
+        dx = x[: 2 * NQ] - x_ref
+        return 0.05 * dx @ dx + 0.5e-2 * (u[:8] @ u[:8])
+
+    def obj_T(x, u):
+        dx = x[: 2 * NQ] - x_ref
+        return 0.5 * dx @ dx
+
+    prob["objective"] = [obj_t] * (horizon - 1) + [obj_T]
+
+    def pinned_feet(q):
+        return jnp.concatenate(
+            [foot_position(q, i) - jnp.asarray(p) for i, p in zip((1, 3), p_pin)]
+        )
+
+    def eq_1(x, u):
+        return jnp.concatenate([friction_equality(x, u), x[0:NQ] - q0])
+
+    def eq_fix(x, u):
+        # stance phase: feet 1/3 of the current config pinned
+        compl = x[22:26] * signed_distance(x[NQ : 2 * NQ])
+        return jnp.concatenate(
+            [friction_equality(x, u), compl, pinned_feet(x[NQ : 2 * NQ])]
+        )
+
+    def eq_t(x, u):
+        compl = x[22:26] * signed_distance(x[NQ : 2 * NQ])
+        return jnp.concatenate([friction_equality(x, u), compl])
+
+    def eq_T(x, u):
+        # config-1 mirrored periodicity is stage-local (x_1[0:NQ] = q0
+        # pinned): x_T[1:NQ] = (P q0)[1:NQ]
+        compl = x[22:26] * signed_distance(x[NQ : 2 * NQ])
+        pq0 = jnp.asarray(q0)[jnp.asarray(_MIRROR_IDX)]
+        return jnp.concatenate([compl, x[1:NQ] - pq0[1:NQ]])
+
+    prob["equality"] = (
+        [eq_1] + [eq_fix] * (t_fix - 1) + [eq_t] * (horizon - 1 - t_fix) + [eq_T]
+    )
+
+    def ineq_T(x, u):
+        return jnp.concatenate(
+            [
+                jnp.array([x[0] - (q0[0] + travel)]),
+                signed_distance(x[NQ : 2 * NQ]),
+            ]
+        )
+
+    prob["nonnegative"] = prob["nonnegative"][:-1] + [ineq_T]
+
+    n_last = 26
+
+    def equality_general(z, theta):
+        # mirrored config-2 periodicity + exact config-2 travel between
+        # the free first-stage config 2 and the last stage
+        q2_first = z[NQ : 2 * NQ]
+        q2_last = z[z.shape[0] - n_last + NQ : z.shape[0] - n_last + 2 * NQ]
+        pq = mirror_config(q2_first)
+        return jnp.concatenate(
+            [
+                q2_last[1:NQ] - pq[1:NQ],
+                q2_last[0:1] - pq[0:1] - travel,
+            ]
+        )
+
+    prob["equality_general"] = equality_general
+    return prob
+
+
 def mpc_problem(horizon=4):
     """Short-horizon contact-implicit MPC problem for stance stabilization
     (the workload of reference examples/contact_implicit/quadruped_mpc.jl,

@@ -51,14 +51,22 @@ class Options:
     # the error -- a factorization with no usable digits), re-solve the
     # step on the full 6-block system with dense LU and take it if
     # measurably better (reference search_direction.jl:22,
-    # iterative_refinement.jl:50-53). Off by default: measured on f32
-    # ill-scaled problems, the refined condensed step is consistently the
-    # stronger one (a pure-LU solve stalls where schur+refinement
-    # converges), so the escalation only pays on problems where the
-    # condensed Cholesky is catastrophically worse-conditioned than the
-    # full system. Under vmap the fallback branch is evaluated for every
-    # lane (XLA select semantics) -- keep off for throughput-critical
-    # batched solves.
+    # iterative_refinement.jl:50-53). Off by default, pinned by a round-3
+    # f32 trigger sweep (tests/test_inertia.py
+    # test_refinement_fallback_default_off_is_pinned):
+    # * green suite (wachter/knitro/rosenbrock/pendulum-trajopt, f32):
+    #   fallback-on is bit-identical to off -- the trigger never fires;
+    # * ill-conditioned f32 QPs (kappa 1e6-3e7) where schur+refinement
+    #   stalls short of the contract: a pure full-system LU stalls too
+    #   (measured final residual 1.2e-3 condensed vs 4.0e-3 LU), so there
+    #   is nothing for the escalation to rescue -- the limit is f32, not
+    #   the condensed factorization;
+    # * under vmap the lax.cond escalation lowers to a select that pays
+    #   the dense (total x total) LU for EVERY lane on EVERY refinement
+    #   trip -- a pure throughput tax on the batched flagship workload.
+    # Turn on for single ill-conditioned f64 solves where a corrupted
+    # condensed factorization is suspected (the rescue case is tested:
+    # test_refinement_fallback_rescues_broken_factorization).
     refinement_fallback: bool = False
 
     # central path / interior point (reference options.jl:18-21,:39)

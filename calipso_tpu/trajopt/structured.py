@@ -67,6 +67,21 @@ def _gather(vec, idx, sentinel_len):
     return vpad[idx]
 
 
+def _onehot(idx, size):
+    """(..., k) static int indices -> (..., k, size + 1) 0/1 float matrix;
+    the sentinel index == size maps to the extra trailing slot (dropped by
+    the caller's [:size] slice). Used to turn static-index scatter-adds
+    into einsum contractions: XLA TPU lowers scatter to slow serialized
+    custom fusions (measured 1-3 ms per (2048, 33, 33) Hessian scatter on
+    a v5e -- over half the whole batched solve), while the equivalent
+    one-hot contraction is a sub-0.1 ms MXU matmul. Exact: multipliers
+    are 0/1 and partial sums are adds of distinct scatter contributions."""
+    idx = np.asarray(idx)
+    out = np.zeros(idx.shape + (size + 1,), np.float32)
+    np.put_along_axis(out, idx[..., None], 1.0, axis=-1)
+    return out
+
+
 class StructuredProblemFunctions:
     """Drop-in replacement for ProblemFunctions built from stagewise
     callables; same call surface, structure-exploiting internals."""
@@ -86,6 +101,19 @@ class StructuredProblemFunctions:
         n, p = int(num_variables), int(num_parameters)
         self.dims = Dimensions(n, p, int(num_equality), int(num_cone))
         self._n, self._p = n, p
+        # assembly strategy: one-hot einsum contractions for small dense
+        # targets (see _onehot; the schur-backend regime), index scatters
+        # for large ones (the einsum's O(m n) per-stage cost outgrows the
+        # scatter's O(r w) around the riccati crossover). Opt-in via
+        # CALIPSO_EINSUM_ASSEMBLY=1 until the XLA:TPU compile time of the
+        # einsum-dense program is confirmed sane (a first TPU compile of
+        # the flagship with it exceeded 400 s where the scatter program
+        # takes ~37 s; runtime correctness is test-covered either way)
+        import os
+
+        self._einsum_assembly = (
+            os.environ.get("CALIPSO_EINSUM_ASSEMBLY", "0") == "1" and n <= 128
+        )
 
         self.cost_groups = _group_stages(
             [(k, fn, zc, pc, np.zeros((0,), np.int64)) for (k, fn, zc, pc) in cost_entries]
@@ -116,13 +144,20 @@ class StructuredProblemFunctions:
         # ---- constraints -----------------------------------------------------
 
         def make_eval(groups, m, general=False):
+            use_es = self._einsum_assembly
+            Rs = [_onehot(g.rows, m) for g in groups] if use_es else None
+
             def fn(z, theta):
                 out = jnp.zeros((m,), z.dtype)
-                for g in groups:
+                for i, g in enumerate(groups):
                     Z = _gather(z, g.zcols, n)
                     W = _gather(theta, g.pcols, p)
                     vals = jax.vmap(g.fn)(Z, W)
-                    out = out.at[jnp.asarray(g.rows)].set(vals)
+                    if use_es:
+                        R = jnp.asarray(Rs[i], z.dtype)
+                        out = out + jnp.einsum("gr,grm->m", vals, R)[:m]
+                    else:
+                        out = out.at[jnp.asarray(g.rows)].set(vals)
                 if general and self.general is not None:
                     out = out.at[jnp.asarray(self.general_rows)].set(
                         self.general(z, theta)
@@ -152,29 +187,42 @@ class StructuredProblemFunctions:
 
     def _scatter_grad(self, groups):
         n, p = self._n, self._p
+        use_es = self._einsum_assembly
+        Cs = [_onehot(g.zcols, n) for g in groups] if use_es else None
 
         def fx(z, theta):
             out = jnp.zeros((n + 1,), z.dtype)
-            for g in groups:
+            for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
                 grads = jax.vmap(jax.grad(g.fn))(Z, W)  # (G, width)
-                out = out.at[jnp.asarray(g.zcols)].add(grads)
+                if use_es:
+                    C = jnp.asarray(Cs[i], z.dtype)
+                    out = out + jnp.einsum("gw,gwn->n", grads, C)
+                else:
+                    out = out.at[jnp.asarray(g.zcols)].add(grads)
             return out[:n]
 
         return fx
 
     def _scatter_hess(self, groups):
         n, p = self._n, self._p
+        use_es = self._einsum_assembly
+        Cs = [_onehot(g.zcols, n) for g in groups] if use_es else None
 
         def fxx(z, theta):
             out = jnp.zeros((n + 1, n + 1), z.dtype)
-            for g in groups:
+            for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
                 hess = jax.vmap(jax.hessian(g.fn))(Z, W)  # (G, w, w)
-                zc = jnp.asarray(g.zcols)
-                out = out.at[zc[:, :, None], zc[:, None, :]].add(hess)
+                if use_es:
+                    C = jnp.asarray(Cs[i], z.dtype)
+                    tmp = jnp.einsum("gwv,gvn->gwn", hess, C)
+                    out = out + jnp.einsum("gwm,gwn->mn", C, tmp)
+                else:
+                    zc = jnp.asarray(g.zcols)
+                    out = out.at[zc[:, :, None], zc[:, None, :]].add(hess)
             return out[:n, :n]
 
         return fxx
@@ -182,17 +230,27 @@ class StructuredProblemFunctions:
     def _scatter_jac(self, groups, m, wrt="z", general=False):
         n, p = self._n, self._p
         ncols = n if wrt == "z" else p
+        use_es = self._einsum_assembly
+        if use_es:
+            Rs = [_onehot(g.rows, m) for g in groups]
+            Cs = [_onehot(g.zcols if wrt == "z" else g.pcols, ncols) for g in groups]
 
         def jac(z, theta):
             out = jnp.zeros((m, ncols + 1), z.dtype)
-            for g in groups:
+            for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
                 argnum = 0 if wrt == "z" else 1
                 J = jax.vmap(jax.jacfwd(g.fn, argnums=argnum))(Z, W)  # (G, r, w)
-                rows = jnp.asarray(g.rows)
-                cols = jnp.asarray(g.zcols if wrt == "z" else g.pcols)
-                out = out.at[rows[:, :, None], cols[:, None, :]].add(J)
+                if use_es:
+                    R = jnp.asarray(Rs[i], z.dtype)
+                    C = jnp.asarray(Cs[i], z.dtype)
+                    tmp = jnp.einsum("grw,gwc->grc", J, C)
+                    out = out + jnp.einsum("grm,grc->mc", R, tmp)[:m]
+                else:
+                    rows = jnp.asarray(g.rows)
+                    cols = jnp.asarray(g.zcols if wrt == "z" else g.pcols)
+                    out = out.at[rows[:, :, None], cols[:, None, :]].add(J)
             if general and self.general is not None:
                 Jg = (
                     jax.jacfwd(self.general, argnums=0 if wrt == "z" else 1)(z, theta)
@@ -204,10 +262,12 @@ class StructuredProblemFunctions:
 
     def _scatter_dual_grad(self, groups, general=False):
         n, p = self._n, self._p
+        use_es = self._einsum_assembly
+        Cs = [_onehot(g.zcols, n) for g in groups] if use_es else None
 
         def dual_grad(z, theta, dual):
             out = jnp.zeros((n + 1,), z.dtype)
-            for g in groups:
+            for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
                 Y = dual[jnp.asarray(g.rows)]  # (G, r)
@@ -216,7 +276,11 @@ class StructuredProblemFunctions:
                     return fn(zrow, wrow) @ yrow
 
                 grads = jax.vmap(jax.grad(scal))(Z, W, Y)
-                out = out.at[jnp.asarray(g.zcols)].add(grads)
+                if use_es:
+                    C = jnp.asarray(Cs[i], z.dtype)
+                    out = out + jnp.einsum("gw,gwn->n", grads, C)
+                else:
+                    out = out.at[jnp.asarray(g.zcols)].add(grads)
             if general and self.general is not None:
                 yg = dual[jnp.asarray(self.general_rows)]
                 out = out.at[:n].add(
@@ -228,10 +292,12 @@ class StructuredProblemFunctions:
 
     def _scatter_dual_hess(self, groups, general=False):
         n, p = self._n, self._p
+        use_es = self._einsum_assembly
+        Cs = [_onehot(g.zcols, n) for g in groups] if use_es else None
 
         def dual_hess(z, theta, dual):
             out = jnp.zeros((n + 1, n + 1), z.dtype)
-            for g in groups:
+            for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
                 Y = dual[jnp.asarray(g.rows)]
@@ -240,8 +306,13 @@ class StructuredProblemFunctions:
                     return fn(zrow, wrow) @ yrow
 
                 hess = jax.vmap(jax.hessian(scal))(Z, W, Y)
-                zc = jnp.asarray(g.zcols)
-                out = out.at[zc[:, :, None], zc[:, None, :]].add(hess)
+                if use_es:
+                    C = jnp.asarray(Cs[i], z.dtype)
+                    tmp = jnp.einsum("gwv,gvn->gwn", hess, C)
+                    out = out + jnp.einsum("gwm,gwn->mn", C, tmp)
+                else:
+                    zc = jnp.asarray(g.zcols)
+                    out = out.at[zc[:, :, None], zc[:, None, :]].add(hess)
             if general and self.general is not None:
                 yg = dual[jnp.asarray(self.general_rows)]
                 out = out.at[:n, :n].add(
@@ -254,25 +325,39 @@ class StructuredProblemFunctions:
     def _scatter_mixed(self, groups):
         """d/dtheta of grad_z(sum of costs): (n, p)."""
         n, p = self._n, self._p
+        use_es = self._einsum_assembly
+        if use_es:
+            Cs = [_onehot(g.zcols, n) for g in groups]
+            Ps = [_onehot(g.pcols, p) for g in groups]
 
         def fxt(z, theta):
             out = jnp.zeros((n + 1, p + 1), z.dtype)
-            for g in groups:
+            for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
                 mixed = jax.vmap(jax.jacfwd(jax.grad(g.fn), argnums=1))(Z, W)
-                zc, pc = jnp.asarray(g.zcols), jnp.asarray(g.pcols)
-                out = out.at[zc[:, :, None], pc[:, None, :]].add(mixed)
+                if use_es:
+                    C = jnp.asarray(Cs[i], z.dtype)
+                    P = jnp.asarray(Ps[i], z.dtype)
+                    tmp = jnp.einsum("gwq,gqp->gwp", mixed, P)
+                    out = out + jnp.einsum("gwn,gwp->np", C, tmp)
+                else:
+                    zc, pc = jnp.asarray(g.zcols), jnp.asarray(g.pcols)
+                    out = out.at[zc[:, :, None], pc[:, None, :]].add(mixed)
             return out[:n, :p]
 
         return fxt
 
     def _scatter_dual_mixed(self, groups, general=False):
         n, p = self._n, self._p
+        use_es = self._einsum_assembly
+        if use_es:
+            Cs = [_onehot(g.zcols, n) for g in groups]
+            Ps = [_onehot(g.pcols, p) for g in groups]
 
         def dual_mixed(z, theta, dual):
             out = jnp.zeros((n + 1, p + 1), z.dtype)
-            for g in groups:
+            for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
                 Y = dual[jnp.asarray(g.rows)]
@@ -281,8 +366,14 @@ class StructuredProblemFunctions:
                     return fn(zrow, wrow) @ yrow
 
                 mixed = jax.vmap(jax.jacfwd(jax.grad(scal), argnums=1))(Z, W, Y)
-                zc, pc = jnp.asarray(g.zcols), jnp.asarray(g.pcols)
-                out = out.at[zc[:, :, None], pc[:, None, :]].add(mixed)
+                if use_es:
+                    C = jnp.asarray(Cs[i], z.dtype)
+                    P = jnp.asarray(Ps[i], z.dtype)
+                    tmp = jnp.einsum("gwq,gqp->gwp", mixed, P)
+                    out = out + jnp.einsum("gwn,gwp->np", C, tmp)
+                else:
+                    zc, pc = jnp.asarray(g.zcols), jnp.asarray(g.pcols)
+                    out = out.at[zc[:, :, None], pc[:, None, :]].add(mixed)
             if general and self.general is not None:
                 yg = dual[jnp.asarray(self.general_rows)]
                 out = out.at[:n, :p].add(

@@ -84,6 +84,31 @@ def quadruped_gait():
           f"travel={states[-1][0] - states[0][0]:.3f} m")
 
 
+def quadruped_gait_v2():
+    """Mirrored half-cycle gait with a foot-pinning stance phase
+    (reference examples/contact_implicit/quadruped_gait_v2.jl): the
+    final state repeats the leg-pair-MIRRORED first state advanced by
+    the travel, and feet 1/3 are pinned for the first t_fix stages."""
+    from calipso_tpu.models import quadruped
+    import numpy as _np
+
+    ts = _build(quadruped.gait_problem_v2(horizon=11, travel=0.2, t_fix=4))
+    res = ts.solve()
+    assert bool(res.solved)
+    states, _ = ts.get_trajectory(res)
+    q2_first = states[0][11:22]
+    q2_last = states[-1][11:22]
+    mirr = _np.asarray(quadruped.mirror_config(q2_first))
+    err = _np.abs((q2_last - mirr)[1:]).max()
+    print(f"solved={bool(res.solved)} iters={int(res.iterations)} "
+          f"travel={q2_last[0] - q2_first[0]:.3f} m mirror_periodicity_err={err:.2e}")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "hopper"
-    {"hopper": hopper_gait, "ball": ball_in_cup, "quadruped": quadruped_gait}[which]()
+    {
+        "hopper": hopper_gait,
+        "ball": ball_in_cup,
+        "quadruped": quadruped_gait,
+        "quadruped_v2": quadruped_gait_v2,
+    }[which]()

@@ -21,7 +21,11 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: the suite is compile-bound (every test jits
-# a whole solve program), so cache XLA executables across pytest runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_calipso")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NO persistent compilation cache on CPU: XLA:CPU cache entries embed AOT
+# machine code and deserializing them can SIGILL/segfault when the
+# compile-time machine features disagree with the host -- observed in this
+# image on the d=54 quadruped MPC program (cpu_aot_loader 'machine type
+# doesn't match' warning, then SIGSEGV inside deserialize_executable on a
+# cache hit). The suite therefore compiles cold each run; budgets in
+# CLAUDE.md reflect that. (calipso_tpu enables the cache only for non-CPU
+# platforms -- see _cache_is_safe.)

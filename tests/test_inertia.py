@@ -202,3 +202,43 @@ def test_refinement_fallback_quiet_when_healthy():
     np.testing.assert_allclose(
         np.asarray(res_on.variables), np.asarray(res_off.variables), atol=0.0
     )
+
+
+def test_refinement_fallback_default_off_is_pinned():
+    """Pins the round-3 measured rationale for refinement_fallback=False
+    by default (the reference escalates unconditionally,
+    search_direction.jl:22; Options doc carries the numbers):
+
+    1. no rescue to buy: on an f32 ill-conditioned QP (kappa ~ 1e6)
+       where schur+refinement stalls short of the 1e-4 contract, a pure
+       full-system LU solve stalls too (measured residuals 1.2e-3 vs
+       4.0e-3) -- the limit is f32 itself, not the condensed
+       factorization, so the escalation's trigger correctly never fires;
+    2. cost with nothing bought: under vmap the lax.cond escalation
+       lowers to a select that evaluates the dense (total x total) LU for
+       EVERY lane on EVERY refinement call.
+
+    Here: (1) the trigger stays quiet on the stalling problem, and the
+    default really is off."""
+    assert Options().refinement_fallback is False
+
+    n, me = 8, 3
+    rng = np.random.default_rng(7)
+    Q = rng.normal(size=(n, n))
+    d = np.logspace(0, 6, n)
+    U = np.linalg.qr(Q)[0]
+    P = jnp.asarray(((U * d) @ U.T + ((U * d) @ U.T).T) / 2, jnp.float32)
+    A = jnp.asarray(rng.normal(size=(me, n)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(me,)), jnp.float32)
+    q = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+    solver = Solver(
+        lambda x: 0.5 * x @ (P @ x) + q @ x,
+        lambda x: A @ x - b,
+        None,
+        n,
+        options=Options(refinement_fallback=True, max_outer_iterations=3),
+    )
+    res = solver.solve(jnp.zeros(n, jnp.float32))
+    # f32 stalls short of the contract and the conservative divergence
+    # trigger never swaps in an LU step (LU measured no better)
+    assert int(np.asarray(res.state.num_fallbacks)) == 0
