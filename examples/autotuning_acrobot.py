@@ -84,7 +84,11 @@ mpc = TrajOptSolver(
 )
 
 
-def theta_builder(weights, state):
+def theta_builder(log_weights, state):
+    # tune log-weights: keeps every stage cost PSD, so a gradient step can
+    # never hand the MPC an indefinite objective (a raw-weight descent
+    # measured here walks w[3] negative and the rollout blows up)
+    weights = jnp.exp(log_weights)
     return jnp.concatenate(
         [weights, state] + [weights] * (T - 2) + [10.0 * jnp.ones(4)]
     )
@@ -120,10 +124,10 @@ loss = autotuning.rollout_loss(
     state_reference=xref_tail,
     action_reference=uref_tail,
 )
-w0 = jnp.ones(4)
+w0 = jnp.zeros(4)  # log-weights: exp(0) = the untuned unit weights
 x0 = jnp.asarray(state_ref[t0]) + jnp.array([0.05, -0.05, 0.0, 0.0])
 w_tuned, history = autotuning.autotune(loss, w0, x0, max_iterations=5, verbose=True)
-print(f"weights {np.asarray(w0)} -> {np.round(np.asarray(w_tuned), 3)}")
+print(f"weights {np.exp(np.asarray(w0))} -> {np.round(np.exp(np.asarray(w_tuned)), 3)}")
 print(f"rollout loss {history[0]:.5f} -> {history[-1]:.5f}")
 assert history[-1] < history[0], "auto-tuning did not reduce the rollout loss"
 print("ok")

@@ -41,7 +41,7 @@ def test_ball_in_cup():
         assert d @ d <= ball_in_cup.STRING_LENGTH**2 + 1e-3
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_quadruped_drop():
     # reference test/examples/quadruped_drop.jl (own analytic 11-DOF planar
     # quadruped; see models/quadruped.py)
@@ -58,7 +58,7 @@ def test_quadruped_drop():
     assert np.all(phi < 1e-2)
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_quadruped_gait():
     # reference test/examples/quadruped_gait.jl: periodic gait with a
     # travel requirement (the reference keeps this out of its CI runner;
@@ -89,7 +89,7 @@ def test_box_move():
         assert np.min(np.asarray(box.signed_distance(x[3:6]))) > -1e-4
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_cyberdrift():
     # reference test/examples/cyberdrift.jl; the problem is schedule-
     # sensitive (the reference notes "may need to run more than once") --
@@ -121,7 +121,7 @@ def test_cyberdrift():
     np.testing.assert_allclose(states[-1][0:3], np.asarray(prob["state_goal"][0:3]), atol=1e-2)
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_state_triggered_rocket():
     # reference examples/state_triggered/rocket_landing.jl (T=51 exactly;
     # the problem is horizon-sensitive)

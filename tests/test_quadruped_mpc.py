@@ -15,7 +15,7 @@ from calipso_tpu.apps.mpc import make_mpc_controller
 from calipso_tpu.models import quadruped
 
 
-@pytest.mark.slow
+@pytest.mark.heavy
 def test_quadruped_stance_mpc():
     H = 4
     prob = quadruped.mpc_problem(horizon=H)
@@ -40,7 +40,7 @@ def test_quadruped_stance_mpc():
 
     warm = None
     iters = []
-    for _ in range(6):
+    for _ in range(4):
         action, warm, solved, it = controller(x, warm)
         assert bool(solved), "MPC step failed to converge"
         iters.append(int(it))
