@@ -280,20 +280,18 @@ def bench_quadruped_batch():
     quadruped, 4 friction-SOC contacts, reference quadruped_drop.jl
     class) solved in lockstep on the riccati backend, with analytic
     factorization flops AND bytes per iteration and achieved rates vs the
-    measured ceilings."""
+    measured ceilings. The default dispatch is SAFE by construction: the
+    T-streaming Pallas kernels are opt-in (CALIPSO_PALLAS_STREAM=1, see
+    ops/riccati.py:_use_pallas), so this section runs the XLA-scan
+    factorization path unless BENCH_QUAD_PALLAS=1 opts the stream route
+    in for experiments."""
     from calipso_tpu import TrajOptSolver
     from calipso_tpu.models import quadruped
 
     B = int(os.environ.get("BENCH_QUAD_BATCH", "128"))
     H = 8
-    # XLA-scan factorization path inside this solve: the d=54 streaming
-    # Pallas kernels fault the TPU device when composed into the solver's
-    # vmapped while_loop nest (standalone they are correct and 3.9x
-    # faster -- kernel_quadruped_d54 above measures them); until the
-    # Mosaic fault is isolated the end-to-end number takes the safe path
-    prev = os.environ.get("CALIPSO_PALLAS_RICCATI")
-    if os.environ.get("BENCH_QUAD_PALLAS", "0") != "1":
-        os.environ["CALIPSO_PALLAS_RICCATI"] = "0"
+    if os.environ.get("BENCH_QUAD_PALLAS", "0") == "1":
+        os.environ["CALIPSO_PALLAS_STREAM"] = "1"
     prob = quadruped.mpc_problem(horizon=H)
     kw = {
         k: v
@@ -326,10 +324,6 @@ def bench_quadruped_batch():
         jax.block_until_ready(res.state.p.x)
     dt = (time.time() - t0) / reps
 
-    if prev is None:
-        os.environ.pop("CALIPSO_PALLAS_RICCATI", None)
-    else:
-        os.environ["CALIPSO_PALLAS_RICCATI"] = prev
     solved_mask = np.asarray(res.state.solved)
     total_i = np.asarray(res.state.total_i)
     iters = int(total_i.sum())
@@ -347,6 +341,88 @@ def bench_quadruped_batch():
         "quadruped_fact_gflops_per_s_lower_bound": round(fact_flops / dt / 1e9, 1),
         "quadruped_fact_gbps_lower_bound": round(fact_bytes / dt / 1e9, 2),
     }
+
+
+def bench_quadruped_subprocess(timeout_s=1500):
+    """Run the quadruped section in a SUBPROCESS, before the parent
+    process has initialized the TPU backend: a TPU kernel fault leaves
+    the faulting process's device handle unusable (BENCH_r03 lost the
+    whole section this way), so the big contact program gets its own
+    process and the parent merges its one-line JSON result (round-3
+    verdict next-round #1b)."""
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--quadruped-child"],
+        capture_output=True,
+        text=True,
+        timeout=timeout_s,
+        env=dict(os.environ),
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(
+        f"quadruped child produced no JSON (rc={out.returncode}): "
+        f"{(out.stderr or out.stdout)[-300:]}"
+    )
+
+
+def bench_rocket_batch_pallas():
+    """Batched rocket SOC landing T=31, B=128 (d=9 stage blocks): the
+    Riccati-lanes Pallas regime (VMEM-resident route, ops/riccati.py
+    factor_cv/solve_cv) measured end-to-end against the same solve with
+    the kernels disabled -- the driver-captured version of the +8-10%
+    claim (round-3 verdict next-round #8)."""
+    from calipso_tpu import TrajOptSolver
+    from calipso_tpu.models import rocket
+
+    B = 128
+    out = {}
+    for tag, env in (("pallas", "1"), ("xla", "0")):
+        prev = os.environ.get("CALIPSO_PALLAS_RICCATI")
+        os.environ["CALIPSO_PALLAS_RICCATI"] = env
+        try:
+            prob = rocket.landing_problem(horizon=31)
+            kw = {
+                k: v
+                for k, v in prob.items()
+                if k not in ("state_guess", "state_initial", "state_goal")
+            }
+            opts = _tol_options(max_iterative_refinement=2, linear_solver="riccati")
+            ts = TrajOptSolver(options=opts, **kw)
+            ts.initialize_states([np.asarray(s, np.float32) for s in prob["state_guess"]])
+            bts = ts.batched()
+            rng = np.random.default_rng(0)
+            # scenario parameter: initial position/velocity perturbations
+            th0 = np.asarray(prob["state_initial"], np.float32)
+            th = jnp.asarray(
+                th0[None] + 0.05 * rng.normal(size=(B, th0.size)).astype(np.float32)
+            )
+            res = bts.solve(parameters=th)
+            jax.block_until_ready(res.state.p.x)
+            reps = 3
+            t0 = time.time()
+            for _ in range(reps):
+                res = bts.solve(parameters=th)
+                jax.block_until_ready(res.state.p.x)
+            dt = (time.time() - t0) / reps
+            out[f"rocket_batch_{tag}_solves_per_s"] = round(B / dt, 1)
+            out[f"rocket_batch_{tag}_solved"] = int(np.asarray(res.state.solved).sum())
+            out[f"rocket_batch_{tag}_iterations"] = int(
+                np.asarray(res.state.total_i).sum()
+            )
+        finally:
+            if prev is None:
+                os.environ.pop("CALIPSO_PALLAS_RICCATI", None)
+            else:
+                os.environ["CALIPSO_PALLAS_RICCATI"] = prev
+    if out.get("rocket_batch_xla_solves_per_s"):
+        out["rocket_batch_pallas_speedup"] = round(
+            out["rocket_batch_pallas_solves_per_s"]
+            / out["rocket_batch_xla_solves_per_s"],
+            3,
+        )
+    return out
 
 
 def bench_rocket101():
@@ -437,6 +513,17 @@ def bench_hopper_gait():
 
 
 def main():
+    # FIRST, before this process initializes the TPU backend: the
+    # quadruped contact section runs in a subprocess so a TPU kernel
+    # fault there can neither void this process's device handle nor be
+    # voided by it (the two processes never hold the chip concurrently)
+    quad = {}
+    try:
+        if os.environ.get("BENCH_SKIP_QUAD", "0") != "1":
+            quad = bench_quadruped_subprocess()
+    except Exception as e:
+        quad = {"quadruped_error": repr(e)[:300]}
+
     bts, stage_dims, ts = build()
     rng = np.random.default_rng(0)
     x0s = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
@@ -551,14 +638,12 @@ def main():
             extra.update(bench_hopper_gait())
     except Exception as e:
         extra["hopper_gait_error"] = repr(e)[:200]
-    # LAST: a TPU-device fault in a kernel leaves the device unusable for
-    # the rest of the process, so the biggest program runs after
-    # everything else has been measured
     try:
-        if os.environ.get("BENCH_SKIP_QUAD", "0") != "1":
-            extra.update(bench_quadruped_batch())
+        if os.environ.get("BENCH_SKIP_ROCKET_BATCH", "0") != "1":
+            extra.update(bench_rocket_batch_pallas())
     except Exception as e:
-        extra["quadruped_error"] = repr(e)[:200]
+        extra["rocket_batch_error"] = repr(e)[:200]
+    extra.update(quad)  # measured first, in its own process (see main top)
 
     base = extra.get("cpu_sequential_solves_per_s")
     print(
@@ -578,4 +663,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--quadruped-child" in sys.argv:
+        # child mode: run only the quadruped section and print its JSON
+        try:
+            print(json.dumps(bench_quadruped_batch()))
+        except Exception as e:
+            print(json.dumps({"quadruped_error": repr(e)[:300]}))
+    else:
+        main()

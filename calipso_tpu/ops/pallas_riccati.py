@@ -312,42 +312,120 @@ def solve_batched_lanes(D, O, b, interpret=False):
     return jnp.transpose(xl, (2, 0, 1))  # (B, T, d)
 
 
-def _factor_lanes_kernel(D_ref, OT_ref, L_ref, M_ref, d: int, T: int):
+# ---- row-indexed lanes kernels ----------------------------------------------
+# The original masked-extract formulation (_chol_lanes/_trisolve_lanes
+# above, kept for the fused and T-streaming variants) reads every row and
+# column of the (d, d, B) block through jnp.where + reduction masks:
+# ~4-5 full-block passes per pivot where the factorization math needs one
+# -- the measured 10.7%-of-VPU gap of BENCH_r03 (round-3 verdict weak #7/
+# next-round #3). These variants keep the working set in VMEM refs and
+# DYNAMICALLY INDEX rows on the leading (untiled) axis -- a direct (d, B)
+# load, no mask -- so the per-pivot cost collapses to the one rank-1
+# trailing update plus O(d*B) bookkeeping. The factor is produced in
+# TRANSPOSED per-stage layout (Lt[k] = column k of L, i.e. L^T rows):
+# every substitution then needs only row loads of Lt (column-sweep
+# forward, row-sweep backward); the public factor_lanes/solve_lanes
+# wrappers transpose at the XLA boundary so the external (B, T, d, d)
+# lower-L contract is unchanged.
+
+
+def _factor_lanes_kernel(D_ref, OT_ref, Lt_ref, M_ref, S_scr, d: int, T: int):
     dtype = D_ref.dtype
     B = D_ref.shape[-1]
+    iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)  # (d, 1) row ids
+    ior = lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)  # (d, 1, 1)
 
-    def mtm(M):
-        out = jnp.zeros((d, d, B), dtype)
-        for i in range(d):
-            row = jnp.sum(
-                jnp.where(lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0) == i, M, 0.0),
-                axis=0,
+    def chol_into(t):
+        """Right-looking Cholesky of S_scr, L^T rows written to Lt_ref[t].
+        Row k of the (symmetric) trailing matrix IS column k, loaded
+        directly from the scratch ref."""
+
+        def body(k, _):
+            rowk = S_scr[k]  # (d, B)
+            pivot = jnp.sqrt(jnp.sum(jnp.where(iod == k, rowk, 0.0), axis=0))  # (B,)
+            colk = jnp.where(iod > k, rowk / pivot[None, :], 0.0)  # (d, B)
+            Lt_ref[t, k] = colk + jnp.where(iod == k, pivot[None, :], 0.0)
+            S_scr[...] = S_scr[...] - colk[:, None, :] * colk[None, :, :]
+            return 0
+
+        lax.fori_loop(0, d, body, 0)
+
+    def forward_mat(t, R):
+        """Solve L X = R (R (d, m, B)) by column sweep over Lt_ref[t]
+        rows: X rows above the pivot are final, rows below accumulate the
+        rank-1 elimination updates."""
+
+        def body(j, X):
+            colj = Lt_ref[t, j]  # (d, B) = L[:, j]
+            pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)  # (B,)
+            xj = jnp.sum(jnp.where(ior == j, X, 0.0), axis=0) / pivot[None, :]  # (m, B)
+            colj_s = jnp.where(iod > j, colj, 0.0)
+            X = X - colj_s[:, None, :] * xj[None, :, :]
+            return jnp.where(ior == j, xj[None, :, :], X)
+
+        return lax.fori_loop(0, d, body, R)
+
+    def stage(t, with_mtm: bool):
+        Dt = D_ref[t]
+        if with_mtm:
+            # M_{t-1}^T M_{t-1} with direct row loads of M_ref
+            def mtm_body(i, acc):
+                row = M_ref[t - 1, i]  # (d, B)
+                return acc + row[:, None, :] * row[None, :, :]
+
+            S_scr[...] = Dt - lax.fori_loop(
+                0, d, mtm_body, jnp.zeros((d, d, B), dtype)
             )
-            out = out + row[:, None, :] * row[None, :, :]
-        return out
+        else:
+            S_scr[...] = Dt
+        chol_into(t)
+        if T > 1:
+            OtT = OT_ref[jnp.minimum(t, OT_ref.shape[0] - 1)]
+            M_t = forward_mat(t, OtT)
+            M_t = jnp.where(t < T - 1, M_t, jnp.zeros_like(M_t))
+            M_ref[t] = M_t
+        else:
+            M_ref[t] = jnp.zeros((d, d, B), dtype)
 
-    def body(t, M_prev):
-        S = D_ref[t] - mtm(M_prev)
-        L = _chol_lanes(S, d)
-        L_ref[t] = L
-        OtT = jnp.where(
-            t < T - 1, OT_ref[jnp.minimum(t, OT_ref.shape[0] - 1)], jnp.zeros((d, d, B), dtype)
-        )
-        M_t = _trisolve_lanes(L, OtT, d)
-        M_ref[t] = M_t
-        return M_t
-
-    lax.fori_loop(0, T, body, jnp.zeros((d, d, D_ref.shape[-1]), dtype))
+    stage(0, with_mtm=False)
+    if T > 1:
+        lax.fori_loop(1, T, lambda t, _: (stage(t, with_mtm=True), 0)[1], 0)
 
 
-def _solve_lanes_kernel(L_ref, M_ref, b_ref, x_ref, u_scr, d: int, T: int):
-    dtype = L_ref.dtype
-    B = L_ref.shape[-1]
+def _solve_lanes_kernel(Lt_ref, M_ref, b_ref, x_ref, u_scr, d: int, T: int):
+    """Substitution sweeps against the TRANSPOSED per-stage factor
+    (Lt_ref[t, k] = column k of L_t)."""
+    dtype = Lt_ref.dtype
+    B = Lt_ref.shape[-1]
+    iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+
+    def fwd_tri(t, b):  # L x = b, b (d, B), column sweep
+        def body(j, X):
+            colj = Lt_ref[t, j]
+            pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)
+            xj = jnp.sum(jnp.where(iod == j, X, 0.0), axis=0) / pivot  # (B,)
+            colj_s = jnp.where(iod > j, colj, 0.0)
+            X = X - colj_s * xj[None, :]
+            return jnp.where(iod == j, xj[None, :], X)
+
+        return lax.fori_loop(0, d, body, b)
+
+    def bwd_tri(t, u):  # L^T x = u, row sweep (Lt rows ARE L^T rows)
+        def body(jj, X):
+            j = d - 1 - jj
+            rowj = Lt_ref[t, j]  # zeros left of the diagonal
+            pivot = jnp.sum(jnp.where(iod == j, rowj, 0.0), axis=0)
+            acc = jnp.sum(rowj * X, axis=0)  # X rows <= j still zero
+            uj = jnp.sum(jnp.where(iod == j, u, 0.0), axis=0)
+            xj = (uj - acc) / pivot
+            return jnp.where(iod == j, xj[None, :], X)
+
+        return lax.fori_loop(0, d, body, jnp.zeros_like(u))
 
     def fwd_body(t, u_prev):
         M_prev = jnp.where(t > 0, M_ref[jnp.maximum(t - 1, 0)], jnp.zeros((d, d, B), dtype))
         bt = b_ref[t] - jnp.sum(M_prev * u_prev[:, None, :], axis=0)
-        u_t = _trisolve_lanes(L_ref[t], bt[:, None, :], d)[:, 0, :]
+        u_t = fwd_tri(t, bt)
         u_scr[t] = u_t
         return u_t
 
@@ -357,7 +435,7 @@ def _solve_lanes_kernel(L_ref, M_ref, b_ref, x_ref, u_scr, d: int, T: int):
         t = T - 1 - j
         Mt = jnp.where(t < T - 1, M_ref[jnp.minimum(t, max(T - 2, 0))], jnp.zeros((d, d, B), dtype))
         rhs = u_scr[t] - jnp.sum(Mt * x_next[None, :, :], axis=1)
-        x_t = _trisolve_T_lanes(L_ref[t], rhs[:, None, :], d)[:, 0, :]
+        x_t = bwd_tri(t, rhs)
         x_ref[t] = x_t
         return x_t
 
@@ -383,7 +461,7 @@ def factor_lanes(D, O, interpret=False, batch_tile=None):
     assert B % Bt == 0, (B, Bt)
     To = OTl.shape[0]
     spec = lambda t: pl.BlockSpec((t, d, d, Bt), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM)
-    Ll, Ml = pl.pallas_call(
+    Ltl, Ml = pl.pallas_call(
         kernel,
         grid=(B // Bt,),
         in_specs=[spec(T), spec(To)],
@@ -392,10 +470,14 @@ def factor_lanes(D, O, interpret=False, batch_tile=None):
             jax.ShapeDtypeStruct((T, d, d, B), dtype),
             jax.ShapeDtypeStruct((T, d, d, B), dtype),
         ),
+        scratch_shapes=[pltpu.VMEM((d, d, Bt), dtype)],
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(Dl, OTl)
-    L = jnp.transpose(Ll, (3, 0, 1, 2))
+    # the kernel emits the factor TRANSPOSED per stage (Lt[t, k] = column
+    # k of L_t; see the row-indexed-kernel comment); restore lower L at
+    # the XLA boundary
+    L = jnp.transpose(Ltl, (3, 0, 2, 1))
     M = jnp.transpose(Ml, (3, 0, 1, 2))[:, : max(T - 1, 0)]
     return L, M
 
@@ -407,7 +489,9 @@ def solve_lanes(L, M, b, interpret=False, batch_tile=None):
 
     B, T, d, _ = L.shape
     dtype = L.dtype
-    Ll = jnp.transpose(L, (1, 2, 3, 0))
+    # the kernel consumes the factor TRANSPOSED per stage (rows of Lt =
+    # columns of L); fold the transpose into the HBM->lanes relayout
+    Ll = jnp.transpose(L, (1, 3, 2, 0))
     Ml = (
         jnp.transpose(M, (1, 2, 3, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
     )
@@ -435,46 +519,146 @@ def solve_lanes(L, M, b, interpret=False, batch_tile=None):
 
 # ---- T-streaming variants ---------------------------------------------------
 # For stage blocks too large to keep the whole horizon resident in VMEM
-# (e.g. contact problems, d ~ 54): grid (B/Bt, T) streams one stage block
-# per grid step; the Riccati carry (M_prev / u_prev / x_next) lives in a
-# scratch buffer that persists across the sequential TPU grid steps, reset
-# at t == 0 of each batch tile.
+# (contact problems, d ~ 54): ONE grid dimension (the lanes tiles) and a
+# manual double-buffered DMA pipeline over the horizon inside the kernel
+# (pallas guide "Patterns: Double Buffering"). The round-3 formulation --
+# grid (B/Bt, T) with the Riccati carry in a scratch that persisted
+# across sequential grid steps -- HUNG/faulted when the pallas_call was
+# composed into a lax.while_loop (repro: fori_loop composition OK,
+# while_loop composition hangs past 560 s; BENCH_r03 recorded the device
+# fault). With a single grid dimension and explicit make_async_copy
+# streaming there is no cross-grid-step carry for the compiler to
+# mis-schedule, and the same while_loop composition runs.
 
 
-def _factor_stream_kernel(D_ref, OT_ref, L_ref, M_ref, Mprev, d: int, T: int):
+def _factor_stream_kernel(D_hbm, OT_hbm, Lt_hbm, M_hbm, d: int, T: int, Bt: int):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    dtype = D_ref.dtype
-    B = D_ref.shape[-1]
-    t = pl.program_id(1)
+    dtype = D_hbm.dtype
+    To = OT_hbm.shape[0]
+    lane0 = pl.program_id(0) * Bt
+    iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    ior = lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
 
-    @pl.when(t == 0)
-    def _():
-        Mprev[...] = jnp.zeros((d, d, B), dtype)
-
-    def mtm(M):
-        out = jnp.zeros((d, d, B), dtype)
-        for i in range(d):
-            row = jnp.sum(
-                jnp.where(lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0) == i, M, 0.0),
-                axis=0,
+    def body(Dbuf, Obuf, Ltbuf, Mbuf, S, sem_in, sem_out):
+        def in_dmas(slot, t):
+            return (
+                pltpu.make_async_copy(
+                    D_hbm.at[t, :, :, pl.ds(lane0, Bt)], Dbuf.at[slot], sem_in.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    OT_hbm.at[jnp.minimum(t, To - 1), :, :, pl.ds(lane0, Bt)],
+                    Obuf.at[slot],
+                    sem_in.at[slot, 1],
+                ),
             )
-            out = out + row[:, None, :] * row[None, :, :]
-        return out
 
-    S = D_ref[0] - mtm(Mprev[...])
-    L = _chol_lanes(S, d)
-    L_ref[0] = L
-    Mt = _trisolve_lanes(L, OT_ref[0], d)
-    Mt = jnp.where(t < T - 1, Mt, jnp.zeros_like(Mt))
-    M_ref[0] = Mt
-    Mprev[...] = Mt
+        def out_dmas(slot, t):
+            return (
+                pltpu.make_async_copy(
+                    Ltbuf.at[slot], Lt_hbm.at[t, :, :, pl.ds(lane0, Bt)], sem_out.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    Mbuf.at[slot], M_hbm.at[t, :, :, pl.ds(lane0, Bt)], sem_out.at[slot, 1]
+                ),
+            )
+
+        def chol_into(slot):
+            """Right-looking Cholesky of S, L^T rows into Ltbuf[slot]."""
+
+            def cbody(k, _):
+                rowk = S[k]
+                pivot = jnp.sqrt(jnp.sum(jnp.where(iod == k, rowk, 0.0), axis=0))
+                colk = jnp.where(iod > k, rowk / pivot[None, :], 0.0)
+                Ltbuf[slot, k] = colk + jnp.where(iod == k, pivot[None, :], 0.0)
+                S[...] = S[...] - colk[:, None, :] * colk[None, :, :]
+                return 0
+
+            lax.fori_loop(0, d, cbody, 0)
+
+        def forward_mat(slot, R):
+            """L X = R by column sweep over Ltbuf[slot] rows."""
+
+            def fbody(j, X):
+                colj = Ltbuf[slot, j]
+                pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)
+                xj = jnp.sum(jnp.where(ior == j, X, 0.0), axis=0) / pivot[None, :]
+                colj_s = jnp.where(iod > j, colj, 0.0)
+                X = X - colj_s[:, None, :] * xj[None, :, :]
+                return jnp.where(ior == j, xj[None, :, :], X)
+
+            return lax.fori_loop(0, d, fbody, R)
+
+        da, ob = in_dmas(0, 0)
+        da.start()
+        ob.start()
+
+        def stage(t, _):
+            slot = t % 2
+            nxt = (t + 1) % 2
+
+            @pl.when(t + 1 < T)
+            def _():
+                da, ob = in_dmas(nxt, t + 1)
+                da.start()
+                ob.start()
+
+            da, ob = in_dmas(slot, t)
+            da.wait()
+            ob.wait()
+
+            # S = D_t - M_{t-1}' M_{t-1} (M_{t-1} resident in the other slot)
+            def mtm_body(i, acc):
+                row = Mbuf[(t - 1) % 2, i]
+                return acc + row[:, None, :] * row[None, :, :]
+
+            MtM = lax.fori_loop(0, d, mtm_body, jnp.zeros((d, d, Bt), dtype))
+            S[...] = Dbuf[slot] - jnp.where(t > 0, MtM, jnp.zeros_like(MtM))
+
+            # slot reuse: stage t-2's output copies must have drained
+            @pl.when(t >= 2)
+            def _():
+                dl, dm = out_dmas(slot, t - 2)
+                dl.wait()
+                dm.wait()
+
+            chol_into(slot)
+            Mt = forward_mat(slot, Obuf[slot])
+            Mbuf[slot] = jnp.where(t < T - 1, Mt, jnp.zeros_like(Mt))
+            dl, dm = out_dmas(slot, t)
+            dl.start()
+            dm.start()
+            return 0
+
+        lax.fori_loop(0, T, stage, 0)
+
+        @pl.when(T >= 2)
+        def _():
+            dl, dm = out_dmas((T - 2) % 2, T - 2)
+            dl.wait()
+            dm.wait()
+
+        dl, dm = out_dmas((T - 1) % 2, T - 1)
+        dl.wait()
+        dm.wait()
+
+    pl.run_scoped(
+        body,
+        Dbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        Obuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        Ltbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        Mbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        S=pltpu.VMEM((d, d, Bt), dtype),
+        sem_in=pltpu.SemaphoreType.DMA((2, 2)),
+        sem_out=pltpu.SemaphoreType.DMA((2, 2)),
+    )
 
 
 def factor_lanes_stream(D, O, batch_tile, interpret=False):
-    """T-streaming batched factor (same contract as factor_lanes)."""
+    """T-streaming batched factor (same contract as factor_lanes):
+    single lanes-tile grid + manual double-buffered horizon DMA."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     B, T, d, _ = D.shape
     dtype = D.dtype
@@ -482,77 +666,215 @@ def factor_lanes_stream(D, O, batch_tile, interpret=False):
     OTl = (
         jnp.transpose(O, (1, 3, 2, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
     )
-    To = OTl.shape[0]
     Bt = batch_tile
     assert B % Bt == 0, (B, Bt)
-    kernel = functools.partial(_factor_stream_kernel, d=d, T=T)
-    spec = lambda imap: pl.BlockSpec((1, d, d, Bt), imap, memory_space=pltpu.VMEM)
-    Ll, Ml = pl.pallas_call(
+    kernel = functools.partial(_factor_stream_kernel, d=d, T=T, Bt=Bt)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    Ltl, Ml = pl.pallas_call(
         kernel,
-        grid=(B // Bt, T),
-        in_specs=[
-            spec(lambda i, t: (t, 0, 0, i)),
-            spec(lambda i, t: (jnp.minimum(t, To - 1), 0, 0, i)),
-        ],
-        out_specs=(spec(lambda i, t: (t, 0, 0, i)), spec(lambda i, t: (t, 0, 0, i))),
+        grid=(B // Bt,),
+        in_specs=[anyspec, anyspec],
+        out_specs=(anyspec, anyspec),
         out_shape=(
             jax.ShapeDtypeStruct((T, d, d, B), dtype),
             jax.ShapeDtypeStruct((T, d, d, B), dtype),
         ),
-        scratch_shapes=[pltpu.VMEM((d, d, Bt), dtype)],
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(Dl, OTl)
-    L = jnp.transpose(Ll, (3, 0, 1, 2))
+    L = jnp.transpose(Ltl, (3, 0, 2, 1))  # transposed per-stage layout
     M = jnp.transpose(Ml, (3, 0, 1, 2))[:, : max(T - 1, 0)]
     return L, M
 
 
-def _solve_fwd_stream_kernel(L_ref, M_ref, b_ref, u_ref, uprev, d: int, T: int):
+def _solve_fwd_stream_kernel(Lt_hbm, M_hbm, b_hbm, u_hbm, d: int, T: int, Bt: int):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    dtype = L_ref.dtype
-    B = L_ref.shape[-1]
-    t = pl.program_id(1)
+    dtype = Lt_hbm.dtype
+    To = M_hbm.shape[0]
+    lane0 = pl.program_id(0) * Bt
+    iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)
 
-    @pl.when(t == 0)
-    def _():
-        uprev[...] = jnp.zeros((d, B), dtype)
+    def body(Lbuf, Mbuf, bbuf, ubuf, ucarry, sem_in, sem_out):
+        def in_dmas(slot, t):
+            return (
+                pltpu.make_async_copy(
+                    Lt_hbm.at[t, :, :, pl.ds(lane0, Bt)], Lbuf.at[slot], sem_in.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    M_hbm.at[jnp.minimum(jnp.maximum(t - 1, 0), To - 1), :, :, pl.ds(lane0, Bt)],
+                    Mbuf.at[slot],
+                    sem_in.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    b_hbm.at[t, :, pl.ds(lane0, Bt)], bbuf.at[slot], sem_in.at[slot, 2]
+                ),
+            )
 
-    Mprev = jnp.where(t > 0, M_ref[0], jnp.zeros((d, d, B), dtype))
-    bt = b_ref[0] - jnp.sum(Mprev * uprev[...][:, None, :], axis=0)
-    u = _trisolve_lanes(L_ref[0], bt[:, None, :], d)[:, 0, :]
-    u_ref[0] = u
-    uprev[...] = u
+        def out_dma(slot, t):
+            return pltpu.make_async_copy(
+                ubuf.at[slot], u_hbm.at[t, :, pl.ds(lane0, Bt)], sem_out.at[slot]
+            )
+
+        def fwd_tri(slot, bv):
+            def fbody(j, X):
+                colj = Lbuf[slot, j]
+                pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)
+                xj = jnp.sum(jnp.where(iod == j, X, 0.0), axis=0) / pivot
+                colj_s = jnp.where(iod > j, colj, 0.0)
+                X = X - colj_s * xj[None, :]
+                return jnp.where(iod == j, xj[None, :], X)
+
+            return lax.fori_loop(0, d, fbody, bv)
+
+        ucarry[...] = jnp.zeros((d, Bt), dtype)
+        for dma in in_dmas(0, 0):
+            dma.start()
+
+        def stage(t, _):
+            slot = t % 2
+
+            @pl.when(t + 1 < T)
+            def _():
+                for dma in in_dmas((t + 1) % 2, t + 1):
+                    dma.start()
+
+            for dma in in_dmas(slot, t):
+                dma.wait()
+            Mprev = jnp.where(t > 0, Mbuf[slot], jnp.zeros((d, d, Bt), dtype))
+            bt = bbuf[slot] - jnp.sum(Mprev * ucarry[...][:, None, :], axis=0)
+            u = fwd_tri(slot, bt)
+            ucarry[...] = u
+
+            @pl.when(t >= 2)
+            def _():
+                out_dma(slot, t - 2).wait()
+
+            ubuf[slot] = u
+            out_dma(slot, t).start()
+            return 0
+
+        lax.fori_loop(0, T, stage, 0)
+
+        @pl.when(T >= 2)
+        def _():
+            out_dma((T - 2) % 2, T - 2).wait()
+
+        out_dma((T - 1) % 2, T - 1).wait()
+
+    pl.run_scoped(
+        body,
+        Lbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        Mbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        bbuf=pltpu.VMEM((2, d, Bt), dtype),
+        ubuf=pltpu.VMEM((2, d, Bt), dtype),
+        ucarry=pltpu.VMEM((d, Bt), dtype),
+        sem_in=pltpu.SemaphoreType.DMA((2, 3)),
+        sem_out=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
-def _solve_bwd_stream_kernel(L_ref, M_ref, u_ref, x_ref, xnext, d: int, T: int):
+def _solve_bwd_stream_kernel(Lt_hbm, M_hbm, u_hbm, x_hbm, d: int, T: int, Bt: int):
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    dtype = L_ref.dtype
-    B = L_ref.shape[-1]
-    t = pl.program_id(1)
-    s = T - 1 - t
+    dtype = Lt_hbm.dtype
+    To = M_hbm.shape[0]
+    lane0 = pl.program_id(0) * Bt
+    iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)
 
-    @pl.when(t == 0)
-    def _():
-        xnext[...] = jnp.zeros((d, B), dtype)
+    def body(Lbuf, Mbuf, ubuf, xbuf, xcarry, sem_in, sem_out):
+        def in_dmas(slot, t):
+            s = T - 1 - t  # descending stage order
+            return (
+                pltpu.make_async_copy(
+                    Lt_hbm.at[s, :, :, pl.ds(lane0, Bt)], Lbuf.at[slot], sem_in.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    M_hbm.at[jnp.minimum(s, To - 1), :, :, pl.ds(lane0, Bt)],
+                    Mbuf.at[slot],
+                    sem_in.at[slot, 1],
+                ),
+                pltpu.make_async_copy(
+                    u_hbm.at[s, :, pl.ds(lane0, Bt)], ubuf.at[slot], sem_in.at[slot, 2]
+                ),
+            )
 
-    Mt = jnp.where(s < T - 1, M_ref[0], jnp.zeros((d, d, B), dtype))
-    rhs = u_ref[0] - jnp.sum(Mt * xnext[...][None, :, :], axis=1)
-    x = _trisolve_T_lanes(L_ref[0], rhs[:, None, :], d)[:, 0, :]
-    x_ref[0] = x
-    xnext[...] = x
+        def out_dma(slot, t):
+            s = T - 1 - t
+            return pltpu.make_async_copy(
+                xbuf.at[slot], x_hbm.at[s, :, pl.ds(lane0, Bt)], sem_out.at[slot]
+            )
+
+        def bwd_tri(slot, uv):
+            def bbody(jj, X):
+                j = d - 1 - jj
+                rowj = Lbuf[slot, j]  # L^T row j (zeros left of diagonal)
+                pivot = jnp.sum(jnp.where(iod == j, rowj, 0.0), axis=0)
+                acc = jnp.sum(rowj * X, axis=0)
+                uj = jnp.sum(jnp.where(iod == j, uv, 0.0), axis=0)
+                xj = (uj - acc) / pivot
+                return jnp.where(iod == j, xj[None, :], X)
+
+            return lax.fori_loop(0, d, bbody, jnp.zeros_like(uv))
+
+        xcarry[...] = jnp.zeros((d, Bt), dtype)
+        for dma in in_dmas(0, 0):
+            dma.start()
+
+        def stage(t, _):
+            slot = t % 2
+            s = T - 1 - t
+
+            @pl.when(t + 1 < T)
+            def _():
+                for dma in in_dmas((t + 1) % 2, t + 1):
+                    dma.start()
+
+            for dma in in_dmas(slot, t):
+                dma.wait()
+            Mt = jnp.where(s < T - 1, Mbuf[slot], jnp.zeros((d, d, Bt), dtype))
+            rhs = ubuf[slot] - jnp.sum(Mt * xcarry[...][None, :, :], axis=1)
+            x = bwd_tri(slot, rhs)
+            xcarry[...] = x
+
+            @pl.when(t >= 2)
+            def _():
+                out_dma(slot, t - 2).wait()
+
+            xbuf[slot] = x
+            out_dma(slot, t).start()
+            return 0
+
+        lax.fori_loop(0, T, stage, 0)
+
+        @pl.when(T >= 2)
+        def _():
+            out_dma((T - 2) % 2, T - 2).wait()
+
+        out_dma((T - 1) % 2, T - 1).wait()
+
+    pl.run_scoped(
+        body,
+        Lbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        Mbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        ubuf=pltpu.VMEM((2, d, Bt), dtype),
+        xbuf=pltpu.VMEM((2, d, Bt), dtype),
+        xcarry=pltpu.VMEM((d, Bt), dtype),
+        sem_in=pltpu.SemaphoreType.DMA((2, 3)),
+        sem_out=pltpu.SemaphoreType.DMA((2,)),
+    )
 
 
 def solve_lanes_stream(L, M, b, batch_tile, interpret=False):
     """T-streaming batched substitution (same contract as solve_lanes)."""
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     B, T, d, _ = L.shape
     dtype = L.dtype
-    Ll = jnp.transpose(L, (1, 2, 3, 0))
+    # transposed per-stage factor layout, like solve_lanes
+    Ll = jnp.transpose(L, (1, 3, 2, 0))
     Ml = (
         jnp.transpose(M, (1, 2, 3, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
     )
@@ -560,35 +882,24 @@ def solve_lanes_stream(L, M, b, batch_tile, interpret=False):
     bl = jnp.transpose(b, (1, 2, 0))
     Bt = batch_tile
     assert B % Bt == 0, (B, Bt)
-    mspec = lambda imap: pl.BlockSpec((1, d, d, Bt), imap, memory_space=pltpu.VMEM)
-    vspec = lambda imap: pl.BlockSpec((1, d, Bt), imap, memory_space=pltpu.VMEM)
-    fwd = functools.partial(_solve_fwd_stream_kernel, d=d, T=T)
+    anyspec = pl.BlockSpec(memory_space=pl.ANY)
+    fwd = functools.partial(_solve_fwd_stream_kernel, d=d, T=T, Bt=Bt)
     Ul = pl.pallas_call(
         fwd,
-        grid=(B // Bt, T),
-        in_specs=[
-            mspec(lambda i, t: (t, 0, 0, i)),
-            mspec(lambda i, t: (jnp.minimum(jnp.maximum(t - 1, 0), To - 1), 0, 0, i)),
-            vspec(lambda i, t: (t, 0, i)),
-        ],
-        out_specs=vspec(lambda i, t: (t, 0, i)),
+        grid=(B // Bt,),
+        in_specs=[anyspec, anyspec, anyspec],
+        out_specs=anyspec,
         out_shape=jax.ShapeDtypeStruct((T, d, B), dtype),
-        scratch_shapes=[pltpu.VMEM((d, Bt), dtype)],
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(Ll, Ml, bl)
-    bwd = functools.partial(_solve_bwd_stream_kernel, d=d, T=T)
+    bwd = functools.partial(_solve_bwd_stream_kernel, d=d, T=T, Bt=Bt)
     xl = pl.pallas_call(
         bwd,
-        grid=(B // Bt, T),
-        in_specs=[
-            mspec(lambda i, t: (T - 1 - t, 0, 0, i)),
-            mspec(lambda i, t: (jnp.minimum(T - 1 - t, To - 1), 0, 0, i)),
-            vspec(lambda i, t: (T - 1 - t, 0, i)),
-        ],
-        out_specs=vspec(lambda i, t: (T - 1 - t, 0, i)),
+        grid=(B // Bt,),
+        in_specs=[anyspec, anyspec, anyspec],
+        out_specs=anyspec,
         out_shape=jax.ShapeDtypeStruct((T, d, B), dtype),
-        scratch_shapes=[pltpu.VMEM((d, Bt), dtype)],
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(Ll, Ml, Ul)

@@ -131,6 +131,11 @@ class Solver:
         options: Options = Options(),
         _fns=None,  # pre-built (structured) problem functions
     ):
+        import calipso_tpu
+
+        # lazy persistent-compile-cache enablement (safe here: the backend
+        # is about to be initialized by the first jit anyway)
+        calipso_tpu._maybe_enable_cache()
         if parameters is not None:
             parameters = jnp.asarray(parameters).reshape(-1)
             num_parameters = parameters.shape[0]

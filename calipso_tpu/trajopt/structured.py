@@ -386,6 +386,15 @@ class StructuredProblemFunctions:
         return dual_mixed
 
     def lagrangian_hessian_xx(self, x, theta, y, z, constraint_tensor=True):
+        if self._block_maps() is not None:
+            # blocks + T static dynamic-update-slice writes: measured far
+            # cheaper on TPU than the elementwise (n, n) scatter-adds
+            # (docs/performance.md round-3 "54% scatter assembly")
+            D, O, Hgen = self.lagrangian_hessian_blocks(
+                x, theta, y, z, constraint_tensor
+            )
+            H = self.stage_structure.densify(D, O)
+            return H if Hgen is None else H + Hgen
         H = self._fxx(x, theta)
         if constraint_tensor:
             if self.dims.equality > 0:
@@ -393,3 +402,124 @@ class StructuredProblemFunctions:
             if self.dims.cone > 0:
                 H = H + self._htz_xx(x, theta, z)
         return H
+
+    # ---- direct stage-block Hessian assembly --------------------------------
+    # The Lagrangian Hessian of a stagewise problem is stage-block
+    # tridiagonal (stage-local functions touch one stage or two adjacent
+    # stages) plus a rare dense remainder from equality_general. Building
+    # the (T, dmax, dmax) diagonal/coupling blocks directly from the
+    # grouped per-stage Hessians -- pad + one-hot stage contraction, no
+    # elementwise scatter, no dense (n, n) intermediate -- removes the
+    # round-3 flagship bottleneck (54% of device time in scatter assembly)
+    # and the O(n^2)-per-lane memory wall of the structured backends
+    # (round-3 verdict next-round #2).
+
+    def _block_maps(self):
+        """Per-group static placement maps (t_idx, Q0, Q1), computed once.
+        Returns None when any group's members disagree on their relative
+        (stage-offset, segment) pattern or stage_structure is missing --
+        callers then fall back to the dense scatter path."""
+        st = getattr(self, "stage_structure", None)
+        if st is None:
+            return None  # not cached: the structure may be attached later
+        if hasattr(self, "_block_maps_cache"):
+            return self._block_maps_cache
+        try:
+            maps = {
+                "cost": [self._group_map(g, st) for g in self.cost_groups],
+                "eq": [self._group_map(g, st) for g in self.eq_groups],
+                "cone": [self._group_map(g, st) for g in self.cone_groups],
+            }
+        except ValueError:
+            maps = None
+        self._block_maps_cache = maps
+        return maps
+
+    @staticmethod
+    def _group_map(g: _Group, st):
+        """Static placement of one group's stage-local variable columns:
+        member i's zcols land in stage t_i (segment 0) and optionally
+        stage t_i + 1 (segment 1, dynamics' next-state block). Q0/Q1 are
+        0/1 (width, dmax) matrices mapping width-index -> block offset,
+        shared by every member (verified; ValueError if violated)."""
+        n = st.num_variables
+        zc = np.asarray(g.zcols)
+        if np.any(zc >= n):
+            raise ValueError("sentinel-padded columns")  # not stage-local
+        zt = st.inv_t[zc]  # (G, w) stage of each column
+        zo = st.inv_o[zc]  # (G, w) offset within the stage block
+        t_idx = zt.min(axis=1)  # (G,)
+        seg = zt - t_idx[:, None]
+        if seg.max(initial=0) > 1:
+            raise ValueError("columns span more than two stages")
+        if not (np.all(seg == seg[0]) and np.all(zo == zo[0])):
+            raise ValueError("members disagree on the placement pattern")
+        seg0, off0 = seg[0], zo[0]
+        w, dmax = zc.shape[1], st.dmax
+        Q0 = np.zeros((w, dmax), np.float32)
+        Q1 = np.zeros((w, dmax), np.float32)
+        Q0[seg0 == 0, off0[seg0 == 0]] = 1.0
+        Q1[seg0 == 1, off0[seg0 == 1]] = 1.0
+        return t_idx, Q0, (Q1 if np.any(seg0 == 1) else None)
+
+    def lagrangian_hessian_blocks(self, x, theta, y, z, constraint_tensor=True):
+        """Stage-block tridiagonal Lagrangian Hessian: (D (T, dmax, dmax),
+        O (T-1, dmax, dmax), Hgen dense-or-None). D/O carry every
+        stage-local term; Hgen is the equality_general dual Hessian (dense
+        (n, n); zero -- and folded away by XLA -- for the usual linear
+        periodicity constraints)."""
+        st = self.stage_structure
+        maps = self._block_maps()
+        T, dmax = st.horizon, st.dmax
+        n, p = self._n, self._p
+        dt = x.dtype
+        D = jnp.zeros((T, dmax, dmax), dt)
+        O = jnp.zeros((max(T - 1, 0), dmax, dmax), dt)
+
+        def add_group(D, O, H, m):
+            """H (G, w, w) member Hessians -> block contributions."""
+            t_idx, Q0, Q1 = m
+            q0 = jnp.asarray(Q0, dt)
+            S0 = jnp.asarray(_onehot(t_idx, T)[:, :T], dt)  # (G, T)
+            A00 = jnp.einsum("ja,gjk,kb->gab", q0, H, q0)
+            D = D + jnp.einsum("gt,gab->tab", S0, A00)
+            if Q1 is not None:
+                q1 = jnp.asarray(Q1, dt)
+                S1 = jnp.asarray(_onehot(t_idx + 1, T)[:, :T], dt)
+                A11 = jnp.einsum("ja,gjk,kb->gab", q1, H, q1)
+                D = D + jnp.einsum("gt,gab->tab", S1, A11)
+                # O_t = H[stage t+1 rows, stage t cols]
+                So = jnp.asarray(_onehot(t_idx, max(T - 1, 1))[:, : T - 1], dt)
+                A10 = jnp.einsum("ja,gjk,kb->gab", q1, H, q0)
+                O = O + jnp.einsum("gt,gab->tab", So, A10)
+            return D, O
+
+        for i, g in enumerate(self.cost_groups):
+            Z = _gather(x, g.zcols, n)
+            W = _gather(theta, g.pcols, p)
+            H = jax.vmap(jax.hessian(g.fn))(Z, W)
+            D, O = add_group(D, O, H, maps["cost"][i])
+
+        if constraint_tensor:
+            for kind, groups, dual in (
+                ("eq", self.eq_groups, y),
+                ("cone", self.cone_groups, z),
+            ):
+                if dual is None or dual.shape[0] == 0:
+                    continue
+                for i, g in enumerate(groups):
+                    Z = _gather(x, g.zcols, n)
+                    W = _gather(theta, g.pcols, p)
+                    Y = dual[jnp.asarray(g.rows)]
+
+                    def scal(zrow, wrow, yrow, fn=g.fn):
+                        return fn(zrow, wrow) @ yrow
+
+                    H = jax.vmap(jax.hessian(scal))(Z, W, Y)
+                    D, O = add_group(D, O, H, maps[kind][i])
+
+        Hgen = None
+        if constraint_tensor and self.general is not None:
+            yg = y[jnp.asarray(self.general_rows)]
+            Hgen = jax.hessian(lambda zz: self.general(zz, theta) @ yg)(x)
+        return D, O, Hgen

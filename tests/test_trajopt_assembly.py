@@ -149,6 +149,30 @@ def test_dual_scalarization_derivatives(setup):
     )
 
 
+def test_hessian_blocks_direct_assembly(setup):
+    """The direct stage-block tridiagonal assembly
+    (structured.py:lagrangian_hessian_blocks -- no dense scatter, no
+    (n, n) intermediate) must reproduce the dense Lagrangian Hessian
+    exactly: densify(D, O) + Hgen == hessian(f + g'y + h'z), and the
+    matrix-free band matvec must agree column-by-column."""
+    fns, z, th, y, zc = setup
+    st = fns.stage_structure
+    assert fns._block_maps() is not None  # the maps engage on this fixture
+    D, O, Hgen = fns.lagrangian_hessian_blocks(z, th, y, zc)
+    lag = lambda zz: fns.f(zz, th) + fns.g(zz, th) @ y + fns.h(zz, th) @ zc
+    H_ref = np.asarray(jax.jit(jax.hessian(lag))(z))
+    H_band = np.asarray(st.densify(D, O))
+    H = H_band + (np.asarray(Hgen) if Hgen is not None else 0.0)
+    assert np.allclose(H, H_ref, atol=1e-10)
+    # the band truly is block-tridiagonal: D/O blocks cover everything
+    # outside Hgen
+    assert np.allclose(H_ref - H_band, np.asarray(Hgen), atol=1e-10)
+    # matrix-free band matvec == densified band matmul
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.normal(size=fns.dims.variables))
+    assert np.allclose(st.band_matvec(D, O, v), H_band @ np.asarray(v), atol=1e-10)
+
+
 def test_hessian_of_lagrangian(setup):
     """reference test/trajectory_optimization/hessian_lagrangian.jl: the
     assembled Lagrangian Hessian equals the dense Hessian of the scalar
