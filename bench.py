@@ -46,6 +46,28 @@ PEAK_FLOPS = {
 }
 
 
+def force(x):
+    """Wait for x's device computation to REALLY finish by pulling a
+    scalar reduction to the host. jax.block_until_ready is not a reliable
+    completion barrier through the tunneled runtime (measured: a 256 MB
+    x20 HBM-stream chain 'completed' at 96 TB/s under block_until_ready,
+    159 GB/s under value forcing), and repeated IDENTICAL dispatches can
+    be served from a result cache -- so every timed section here (a)
+    forces values and (b) perturbs its inputs per rep."""
+    return float(jnp.sum(x))
+
+
+def dispatch_latency_s():
+    """Measured tunnel round-trip for a trivial dispatch + scalar pull
+    (tens of ms); reported so latency-dominated single-solve numbers can
+    be interpreted."""
+    f = jax.jit(lambda x: x + 1.0)
+    force(f(jnp.float32(1.0)))
+    t0 = time.time()
+    force(f(jnp.float32(2.0)))
+    return time.time() - t0
+
+
 def _tol_options(**kw):
     from calipso_tpu import Options
 
@@ -165,58 +187,69 @@ def measure_ceilings():
     throughput (the unit that bounds batched small-matrix factorization:
     per-lane d x d blocks cannot tile onto the 128x128 MXU)."""
     import jax
+    import functools
 
     from jax import lax
 
     out = {}
-    K = 20  # iterations inside ONE jit: the tunnel's per-dispatch latency
-    # (tens of ms) would otherwise dominate every sub-100 ms measurement
 
-    def timed(fn, *args):
-        jax.block_until_ready(fn(*args))
+    def marginal(make_fn, x, K1, K2):
+        """Marginal per-iteration time via two chain lengths inside one
+        jit each: cancels BOTH the tunnel dispatch latency and any fixed
+        per-call overhead. Inputs are perturbed per call (result-cache
+        hazard; see `force`)."""
+        f1, f2 = make_fn(K1), make_fn(K2)
+        force(f1(x))
+        force(f2(x))
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        return time.time() - t0
+        force(f1(x + 1.0))
+        t1 = time.time() - t0
+        t0 = time.time()
+        force(f2(x + 2.0))
+        t2 = time.time() - t0
+        return max((t2 - t1) / (K2 - K1), 1e-12)
 
-    # HBM: K dependent big copies (read + write each)
+    # HBM: dependent big copies (read + write each)
     x = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
 
-    @jax.jit
-    def copies(a):
+    def make_copies(K):
         # sqrt(v^2 + c): non-foldable across while iterations (linear +c
         # or rev/transpose chains get algebraically collapsed into one
         # pass), ~3 flops/element so still firmly bandwidth-bound
-        return lax.fori_loop(0, K, lambda i, v: jnp.sqrt(v * v + 1e-3), a)
+        return jax.jit(
+            lambda a: lax.fori_loop(0, K, lambda i, v: jnp.sqrt(v * v + 1e-3), a)
+        )
 
-    dt = timed(copies, x)
-    out["hbm_gbps_measured"] = round(K * 2 * x.size * 4 / dt / 1e9, 1)
+    dt = marginal(make_copies, x, 4, 24)
+    out["hbm_gbps_measured"] = round(2 * x.size * 4 / dt / 1e9, 1)
 
     # MXU f32-highest matmul chain
     a = jnp.eye(4096, dtype=jnp.float32) + 1e-6
 
-    @jax.jit
-    def mms(m):
-        with jax.default_matmul_precision("highest"):
-            return lax.fori_loop(0, K, lambda i, v: 0.99 * (v @ a), m)
+    def make_mms(K):
+        def f(m):
+            with jax.default_matmul_precision("highest"):
+                return lax.fori_loop(0, K, lambda i, v: 0.99 * (v @ m), m)
 
-    dt = timed(mms, a)
-    out["mxu_f32_highest_gflops_measured"] = round(K * 2 * 4096**3 / dt / 1e9, 0)
+        return jax.jit(f)
+
+    dt = marginal(make_mms, a, 4, 24)
+    out["mxu_f32_highest_gflops_measured"] = round(2 * 4096**3 / dt / 1e9, 0)
 
     # VPU: compute-bound FMA chain on a VMEM-sized block (64 FMAs per
     # element per pass, one read+write per pass -> arithmetic-bound)
     y = jnp.ones((512, 1024), jnp.float32)
 
-    @jax.jit
-    def fmas(v):
+    def make_fmas(K):
         def body(i, v):
             for _ in range(64):
                 v = v * 1.0000001 + 1e-7
             return v
 
-        return lax.fori_loop(0, 64 * K, body, v)
+        return jax.jit(lambda v: lax.fori_loop(0, 64 * K, body, v))
 
-    dt = timed(fmas, y)
-    out["vpu_fma_gflops_measured"] = round(64 * K * 64 * 2 * y.size / dt / 1e9, 0)
+    dt = marginal(make_fmas, y, 4, 24)
+    out["vpu_fma_gflops_measured"] = round(64 * 64 * 2 * y.size / dt / 1e9, 0)
     return out
 
 
@@ -238,6 +271,8 @@ def bench_kernel_roofline(ceil):
     per-lane small-matrix algebra cannot tile onto the 128x128 MXU; the
     masked-update formulation does ~2x redundant element work on top of
     the flop count), so the binding roofline is min(VPU, HBM)."""
+    from jax import lax
+
     from calipso_tpu.ops import riccati as rc
 
     rng = np.random.default_rng(0)
@@ -246,15 +281,33 @@ def bench_kernel_roofline(ceil):
         D = rng.normal(size=(B, T, d, d)).astype(np.float32)
         D = jnp.asarray(D @ np.transpose(D, (0, 1, 3, 2)) + 8 * d * np.eye(d, dtype=np.float32))
         O = jnp.asarray(0.1 * rng.normal(size=(B, max(T - 1, 0), d, d)).astype(np.float32))
+
+        def make_chain(K):
+            # K chained factorizations inside one jit (the +1e-12*L
+            # perturbation keeps the loop-carried dependency real while
+            # leaving the blocks SPD); marginal two-K timing cancels the
+            # dispatch latency (see `force`)
+            def f(D, O):
+                def body(i, c):
+                    Dc, _ = c
+                    L, _M = jax.vmap(rc.factor_cv)(Dc, O)
+                    return (Dc + 1e-12 * L, L)
+
+                return lax.fori_loop(0, K, body, (D, jnp.zeros_like(D)))[1]
+
+            return jax.jit(f)
+
         with jax.default_matmul_precision("highest"):
-            f = jax.jit(lambda D, O: jax.vmap(rc.factor_cv)(D, O))
-            jax.block_until_ready(f(D, O))
-            reps = 20
+            f1, f2 = make_chain(4), make_chain(16)
+            force(f1(D, O))
+            force(f2(D, O))
             t0 = time.time()
-            for _ in range(reps):
-                L, M = f(D, O)
-            jax.block_until_ready(L)
-            dt = (time.time() - t0) / reps
+            force(f1(D + 0.5, O))
+            t1 = time.time() - t0
+            t0 = time.time()
+            force(f2(D + 1.0, O))
+            t2 = time.time() - t0
+            dt = max((t2 - t1) / 12, 1e-12)
         flops = B * T * FACTOR_FLOPS_PER_STAGE(d)
         bts = B * T * FACTOR_BYTES_PER_STAGE(d)
         gflops = flops / dt / 1e9
@@ -290,8 +343,9 @@ def bench_quadruped_batch():
 
     B = int(os.environ.get("BENCH_QUAD_BATCH", "128"))
     H = 8
-    if os.environ.get("BENCH_QUAD_PALLAS", "0") == "1":
-        os.environ["CALIPSO_PALLAS_STREAM"] = "1"
+    if os.environ.get("BENCH_QUAD_PALLAS", "1") == "0":
+        # A/B switch: disable the (default-on) stream kernels for this run
+        os.environ["CALIPSO_PALLAS_STREAM"] = "0"
     prob = quadruped.mpc_problem(horizon=H)
     kw = {
         k: v
@@ -315,13 +369,21 @@ def bench_quadruped_batch():
 
     t0 = time.time()
     res = bts.solve(parameters=th)
-    jax.block_until_ready(res.state.p.x)
+    force(res.state.p.x)
     compile_s = time.time() - t0
+    # fresh scenario heights each rep: repeated identical dispatches can
+    # be served from the tunneled runtime's result cache (observed: a
+    # repeat of an IDENTICAL d=54 batch returned in 4 ms where the honest
+    # time is ~100x that), exactly like the flagship bench's per-rep x0s
     reps = 2
     t0 = time.time()
-    for _ in range(reps):
-        res = bts.solve(parameters=th)
-        jax.block_until_ready(res.state.p.x)
+    for r in range(reps):
+        h_r = rng.uniform(0.02, 0.10, size=(B,))
+        x0r = np.tile(np.concatenate([q0, q0])[None], (B, 1))
+        x0r[:, 1] += h_r
+        x0r[:, 11 + 1] += h_r
+        res = bts.solve(parameters=jnp.asarray(x0r, jnp.float32))
+        force(res.state.p.x)
     dt = (time.time() - t0) / reps
 
     solved_mask = np.asarray(res.state.solved)
@@ -399,12 +461,17 @@ def bench_rocket_batch_pallas():
                 th0[None] + 0.05 * rng.normal(size=(B, th0.size)).astype(np.float32)
             )
             res = bts.solve(parameters=th)
-            jax.block_until_ready(res.state.p.x)
+            force(res.state.p.x)
+            # fresh scenarios per rep (result-cache hazard; see
+            # bench_quadruped_batch)
             reps = 3
             t0 = time.time()
             for _ in range(reps):
-                res = bts.solve(parameters=th)
-                jax.block_until_ready(res.state.p.x)
+                th_r = jnp.asarray(
+                    th0[None] + 0.05 * rng.normal(size=(B, th0.size)).astype(np.float32)
+                )
+                res = bts.solve(parameters=th_r)
+                force(res.state.p.x)
             dt = (time.time() - t0) / reps
             out[f"rocket_batch_{tag}_solves_per_s"] = round(B / dt, 1)
             out[f"rocket_batch_{tag}_solved"] = int(np.asarray(res.state.solved).sum())
@@ -455,13 +522,16 @@ def bench_rocket101():
 
     t0 = time.time()
     r = ts.solve()
-    jax.block_until_ready(r.state.p.x)
+    force(r.state.p.x)
     compile_s = time.time() - t0
+    # perturb the guess each rep (identical dispatches can be served from
+    # the tunneled runtime's result cache; see bench_quadruped_batch)
     reps = 2
     t0 = time.time()
-    for _ in range(reps):
-        r = ts.solve()
-        jax.block_until_ready(r.state.p.x)
+    for rep in range(reps):
+        g = jnp.asarray(guess, jnp.float32) + 1e-5 * (rep + 1)
+        r = ts.solver.solve(x0=g)
+        force(r.state.p.x)
     dt = (time.time() - t0) / reps
     return {
         "rocket101_solved": bool(r.solved),
@@ -499,10 +569,13 @@ def bench_hopper_gait():
     if "action_guess" in prob:
         ts.initialize_actions([np.asarray(a, np.float32) for a in prob["action_guess"]])
     r = ts.solve()
-    jax.block_until_ready(r.state.p.x)
+    force(r.state.p.x)
+    # perturbed guess for the timed rep (result-cache hazard; see
+    # bench_quadruped_batch)
+    g = jnp.asarray(ts._guess, jnp.float32) + 1e-5
     t0 = time.time()
-    r = ts.solve()
-    jax.block_until_ready(r.state.p.x)
+    r = ts.solver.solve(x0=g)
+    force(r.state.p.x)
     dt = time.time() - t0
     return {
         "hopper_gait_solved": bool(r.solved),
@@ -535,7 +608,7 @@ def main():
     # cache absorbs across processes)
     t0 = time.time()
     res = bts.solve(parameters=x0s)
-    jax.block_until_ready(res.state.p.x)
+    force(res.state.p.x)
     compile_s = time.time() - t0
     bts_cold, _, _ = build()
     guess_b = jnp.broadcast_to(
@@ -550,7 +623,7 @@ def main():
     for r in range(reps):
         x0s_r = jnp.asarray(0.2 * rng.normal(size=(BATCH, 2)), jnp.float32)
         res = bts.solve(parameters=x0s_r)
-        jax.block_until_ready(res.state.p.x)
+        force(res.state.p.x)
     dt = (time.time() - t0) / reps
 
     solves_per_s = BATCH / dt
@@ -605,6 +678,7 @@ def main():
             round(kkt_flops_per_s / peak, 9) if peak else None
         ),
         "device_kind": kind,
+        "dispatch_latency_s": round(dispatch_latency_s(), 3),
         "compile_s": round(compile_s, 1),
         "trace_s": round(trace_s, 1),
         "compile_cache_dir": jax.config.jax_compilation_cache_dir,

@@ -352,18 +352,21 @@ def _factor_lanes_kernel(D_ref, OT_ref, Lt_ref, M_ref, S_scr, d: int, T: int):
 
     def forward_mat(t, R):
         """Solve L X = R (R (d, m, B)) by column sweep over Lt_ref[t]
-        rows: X rows above the pivot are final, rows below accumulate the
-        rank-1 elimination updates."""
+        rows, with X swept IN the S scratch (free after chol_into) so the
+        per-pivot row read is a direct load, not a full-block mask."""
+        S_scr[...] = R
 
-        def body(j, X):
+        def body(j, _):
             colj = Lt_ref[t, j]  # (d, B) = L[:, j]
             pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)  # (B,)
-            xj = jnp.sum(jnp.where(ior == j, X, 0.0), axis=0) / pivot[None, :]  # (m, B)
+            xj = S_scr[j] / pivot[None, :]  # (m, B)
             colj_s = jnp.where(iod > j, colj, 0.0)
-            X = X - colj_s[:, None, :] * xj[None, :, :]
-            return jnp.where(ior == j, xj[None, :, :], X)
+            S_scr[...] = S_scr[...] - colj_s[:, None, :] * xj[None, :, :]
+            S_scr[j] = xj
+            return 0
 
-        return lax.fori_loop(0, d, body, R)
+        lax.fori_loop(0, d, body, 0)
+        return S_scr[...]
 
     def stage(t, with_mtm: bool):
         Dt = D_ref[t]
@@ -578,17 +581,21 @@ def _factor_stream_kernel(D_hbm, OT_hbm, Lt_hbm, M_hbm, d: int, T: int, Bt: int)
             lax.fori_loop(0, d, cbody, 0)
 
         def forward_mat(slot, R):
-            """L X = R by column sweep over Ltbuf[slot] rows."""
+            """L X = R by column sweep over Ltbuf[slot] rows, X swept in
+            the S scratch (free after chol_into)."""
+            S[...] = R
 
-            def fbody(j, X):
+            def fbody(j, _):
                 colj = Ltbuf[slot, j]
                 pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)
-                xj = jnp.sum(jnp.where(ior == j, X, 0.0), axis=0) / pivot[None, :]
+                xj = S[j] / pivot[None, :]
                 colj_s = jnp.where(iod > j, colj, 0.0)
-                X = X - colj_s[:, None, :] * xj[None, :, :]
-                return jnp.where(ior == j, xj[None, :, :], X)
+                S[...] = S[...] - colj_s[:, None, :] * xj[None, :, :]
+                S[j] = xj
+                return 0
 
-            return lax.fori_loop(0, d, fbody, R)
+            lax.fori_loop(0, d, fbody, 0)
+            return S[...]
 
         da, ob = in_dmas(0, 0)
         da.start()
@@ -655,13 +662,28 @@ def _factor_stream_kernel(D_hbm, OT_hbm, Lt_hbm, M_hbm, d: int, T: int, Bt: int)
     )
 
 
+def _pad8(d):
+    return -(-d // 8) * 8
+
+
 def factor_lanes_stream(D, O, batch_tile, interpret=False):
     """T-streaming batched factor (same contract as factor_lanes):
-    single lanes-tile grid + manual double-buffered horizon DMA."""
+    single lanes-tile grid + manual double-buffered horizon DMA. Blocks
+    are padded to 8-aligned d (identity diagonal, so padded dimensions
+    decouple exactly): Mosaic requires manual-DMA slices to be 8-aligned
+    along the sublane dimension."""
     from jax.experimental import pallas as pl
 
-    B, T, d, _ = D.shape
+    B, T, d0, _ = D.shape
     dtype = D.dtype
+    d = _pad8(d0)
+    if d != d0:
+        pd = d - d0
+        eye_pad = jnp.concatenate(
+            [jnp.zeros((d0,), dtype), jnp.ones((pd,), dtype)]
+        )
+        D = jnp.pad(D, ((0, 0), (0, 0), (0, pd), (0, pd))) + jnp.diag(eye_pad)
+        O = jnp.pad(O, ((0, 0), (0, 0), (0, pd), (0, pd)))
     Dl = jnp.transpose(D, (1, 2, 3, 0))
     OTl = (
         jnp.transpose(O, (1, 3, 2, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
@@ -684,7 +706,7 @@ def factor_lanes_stream(D, O, batch_tile, interpret=False):
     )(Dl, OTl)
     L = jnp.transpose(Ltl, (3, 0, 2, 1))  # transposed per-stage layout
     M = jnp.transpose(Ml, (3, 0, 1, 2))[:, : max(T - 1, 0)]
-    return L, M
+    return L[:, :, :d0, :d0], M[:, :, :d0, :d0]
 
 
 def _solve_fwd_stream_kernel(Lt_hbm, M_hbm, b_hbm, u_hbm, d: int, T: int, Bt: int):
@@ -871,8 +893,17 @@ def solve_lanes_stream(L, M, b, batch_tile, interpret=False):
     """T-streaming batched substitution (same contract as solve_lanes)."""
     from jax.experimental import pallas as pl
 
-    B, T, d, _ = L.shape
+    B, T, d0, _ = L.shape
     dtype = L.dtype
+    d = _pad8(d0)
+    if d != d0:
+        pd = d - d0
+        eye_pad = jnp.concatenate(
+            [jnp.zeros((d0,), dtype), jnp.ones((pd,), dtype)]
+        )
+        L = jnp.pad(L, ((0, 0), (0, 0), (0, pd), (0, pd))) + jnp.diag(eye_pad)
+        M = jnp.pad(M, ((0, 0), (0, 0), (0, pd), (0, pd)))
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, pd)))
     # transposed per-stage factor layout, like solve_lanes
     Ll = jnp.transpose(L, (1, 3, 2, 0))
     Ml = (
@@ -903,7 +934,7 @@ def solve_lanes_stream(L, M, b, batch_tile, interpret=False):
         interpret=interpret,
         compiler_params=_compiler_params(),
     )(Ll, Ml, Ul)
-    return jnp.transpose(xl, (2, 0, 1))
+    return jnp.transpose(xl, (2, 0, 1))[:, :, :d0]
 
 
 def solve_batched(D, O, b, use_pallas=None):

@@ -124,17 +124,19 @@ def _use_pallas(axis_size, T, d, dtype, on_tpu=None):
     # buffer-sized loop temporaries -> ~10x one buffer's bytes. A
     # "resident" tile holds the whole (T, d, d, Bt) horizon in VMEM; when
     # no tile fits, the T-streaming kernels ("stream",
-    # pallas_riccati.*_stream) stream one (d, d, Bt) stage block per grid
-    # step -- but those are OPT-IN (CALIPSO_PALLAS_STREAM=1): composed
-    # into the solver's vmapped while_loop nest they have faulted the TPU
-    # device (BENCH_r03 quadruped_error), which leaves the device unusable
-    # for the rest of the process, so no default-config user may route to
-    # them (round-3 verdict weak #1). Standalone (one pallas_call per jit,
-    # e.g. the bench kernel sections) they are correct and 3.9x the XLA
-    # scan. Mosaic requires lane-axis blocks to be multiples of 128 (or
-    # the whole axis), so partial tiles below 128 are only usable when
-    # they cover the full batch. Returns (mode, tile) or None for the XLA
-    # fallback.
+    # pallas_riccati.*_stream) stream (d, d, Bt) stage blocks through a
+    # manual double-buffered DMA pipeline. Round 3's stream formulation
+    # (grid (B/Bt, T) with a cross-grid-step scratch carry) hung/faulted
+    # the device when the pallas_call sat inside a lax.while_loop
+    # (BENCH_r03 quadruped_error; isolated repro: fori composition OK,
+    # while hangs) and was fenced off; the round-4 single-grid manual-DMA
+    # rewrite passes that exact composition AND the full batched-quadruped
+    # solver nest on TPU (128/128 converged), so the stream route is ON
+    # by default again. CALIPSO_PALLAS_STREAM=0 disables just the stream
+    # route; CALIPSO_PALLAS_RICCATI=0 disables all Pallas routing. Mosaic
+    # requires lane-axis blocks to be multiples of 128 (or the whole
+    # axis), so partial tiles below 128 are only usable when they cover
+    # the full batch. Returns (mode, tile) or None for the XLA fallback.
     def fits(tile, steps):
         # ~10 buffer-sized allocations against the raised 96 MB Mosaic
         # scoped-VMEM limit (pallas_riccati._compiler_params), with margin
@@ -145,12 +147,17 @@ def _use_pallas(axis_size, T, d, dtype, on_tpu=None):
             return ("resident", tile)
     if axis_size < 128 and fits(axis_size, T):
         return ("resident", axis_size)
-    if os.environ.get("CALIPSO_PALLAS_STREAM", "0") != "1":
+    if os.environ.get("CALIPSO_PALLAS_STREAM", "1") != "1":
         return None
+    # stream buffers: 2x double-buffered (d, d, Bt) blocks for each of
+    # the ~4 streams + substitution scratch -> ~9 blocks + margin
+    def fits_stream(tile):
+        return 12 * tile * d * d * dtype.itemsize < 60 * 2**20
+
     for tile in (512, 256, 128):
-        if axis_size % tile == 0 and fits(tile, 1):
+        if axis_size % tile == 0 and fits_stream(tile):
             return ("stream", tile)
-    if axis_size < 128 and fits(axis_size, 1):
+    if axis_size < 128 and fits_stream(axis_size):
         return ("stream", axis_size)
     return None
 

@@ -127,6 +127,26 @@ class StructuredProblemFunctions:
 
         me, mc = self.dims.equality, self.dims.cone
 
+        # row-tiling flags: when the groups' row spans (in group order,
+        # general rows last) exactly tile [0, m), constraint values and
+        # Jacobians assemble by CONCATENATION -- no scatter at all (XLA
+        # TPU lowers elementwise scatter to serialized custom fusions;
+        # docs/performance.md). Holds by construction for trajopt
+        # transcriptions (dynamics rows, then per-stage rows in stage
+        # order, then general); verified here, scatter fallback otherwise.
+        def _rows_tiled(groups, m, general_rows):
+            parts = [np.asarray(g.rows).ravel() for g in groups]
+            if general_rows is not None:
+                parts.append(np.asarray(general_rows).ravel())
+            cat = np.concatenate(parts) if parts else np.zeros((0,), np.int64)
+            return cat.size == m and np.array_equal(cat, np.arange(m))
+
+        self._eq_rows_tiled = _rows_tiled(
+            self.eq_groups, me,
+            self.general_rows if general_equality is not None else None,
+        )
+        self._cone_rows_tiled = _rows_tiled(self.cone_groups, mc, None)
+
         # ---- scalar objective ------------------------------------------------
 
         def f(z, theta):
@@ -146,8 +166,20 @@ class StructuredProblemFunctions:
         def make_eval(groups, m, general=False):
             use_es = self._einsum_assembly
             Rs = [_onehot(g.rows, m) for g in groups] if use_es else None
+            tiled = self._eq_rows_tiled if general else self._cone_rows_tiled
 
             def fn(z, theta):
+                if tiled and not use_es:
+                    parts = []
+                    for g in groups:
+                        Z = _gather(z, g.zcols, n)
+                        W = _gather(theta, g.pcols, p)
+                        parts.append(jax.vmap(g.fn)(Z, W).reshape(-1))
+                    if general and self.general is not None:
+                        parts.append(self.general(z, theta))
+                    if not parts:
+                        return jnp.zeros((m,), z.dtype)
+                    return jnp.concatenate(parts)
                 out = jnp.zeros((m,), z.dtype)
                 for i, g in enumerate(groups):
                     Z = _gather(z, g.zcols, n)
@@ -169,13 +201,13 @@ class StructuredProblemFunctions:
         self.g = make_eval(self.eq_groups, me, general=True)
         self.h = make_eval(self.cone_groups, mc)
 
-        self.gx = self._scatter_jac(self.eq_groups, me, wrt="z", general=True)
-        self.hx = self._scatter_jac(self.cone_groups, mc, wrt="z")
+        self.gx = self._scatter_jac(self.eq_groups, me, wrt="z", general=True, kind="eq")
+        self.hx = self._scatter_jac(self.cone_groups, mc, wrt="z", kind="cone")
         self.gt = self._scatter_jac(self.eq_groups, me, wrt="w", general=True)
         self.ht = self._scatter_jac(self.cone_groups, mc, wrt="w")
 
-        self.gty_x = self._scatter_dual_grad(self.eq_groups, general=True)
-        self.htz_x = self._scatter_dual_grad(self.cone_groups)
+        self.gty_x = self._scatter_dual_grad(self.eq_groups, general=True, kind="eq")
+        self.htz_x = self._scatter_dual_grad(self.cone_groups, kind="cone")
         self._gty_xx = self._scatter_dual_hess(self.eq_groups, general=True)
         self._htz_xx = self._scatter_dual_hess(self.cone_groups)
 
@@ -185,12 +217,41 @@ class StructuredProblemFunctions:
 
     # ---- scatter builders ----------------------------------------------------
 
+    def _grad_blocks_place(self, grad_list, maps_list, dtype):
+        """Scatter-free flat-gradient assembly: per-group (G, w) gradients
+        are placed into (T, dmax) stage-block form (pad via the static Q0/
+        Q1 maps + one-hot stage contraction) and gathered back to flat
+        with from_blocks -- no elementwise scatter-add."""
+        st = self.stage_structure
+        T, dmax = st.horizon, st.dmax
+        out = jnp.zeros((T, dmax), dtype)
+        for grads, m in zip(grad_list, maps_list):
+            t_idx, Q0, Q1 = m
+            G = grads.shape[0]
+            S0 = jnp.asarray(_onehot(t_idx, T)[:, :T], dtype)
+            g0 = grads @ jnp.asarray(Q0, dtype)  # (G, dmax)
+            out = out + jnp.einsum("gt,ga->ta", S0, g0)
+            if Q1 is not None:
+                S1 = jnp.asarray(_onehot(t_idx + 1, T)[:, :T], dtype)
+                g1 = grads @ jnp.asarray(Q1, dtype)
+                out = out + jnp.einsum("gt,ga->ta", S1, g1)
+        return st.from_blocks(out)
+
     def _scatter_grad(self, groups):
         n, p = self._n, self._p
         use_es = self._einsum_assembly
         Cs = [_onehot(g.zcols, n) for g in groups] if use_es else None
 
         def fx(z, theta):
+            maps = self._block_maps()
+            if maps is not None and not use_es:
+                grad_list, maps_list = [], []
+                for i, g in enumerate(groups):
+                    Z = _gather(z, g.zcols, n)
+                    W = _gather(theta, g.pcols, p)
+                    grad_list.append(jax.vmap(jax.grad(g.fn))(Z, W))
+                    maps_list.append(maps["cost"][i])
+                return self._grad_blocks_place(grad_list, maps_list, z.dtype)
             out = jnp.zeros((n + 1,), z.dtype)
             for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
@@ -227,20 +288,44 @@ class StructuredProblemFunctions:
 
         return fxx
 
-    def _scatter_jac(self, groups, m, wrt="z", general=False):
+    def _scatter_jac(self, groups, m, wrt="z", general=False, kind=None):
         n, p = self._n, self._p
         ncols = n if wrt == "z" else p
         use_es = self._einsum_assembly
         if use_es:
             Rs = [_onehot(g.rows, m) for g in groups]
             Cs = [_onehot(g.zcols if wrt == "z" else g.pcols, ncols) for g in groups]
+        tiled = (
+            wrt == "z"
+            and kind is not None
+            and (self._eq_rows_tiled if kind == "eq" else self._cone_rows_tiled)
+        )
 
         def jac(z, theta):
+            argnum = 0 if wrt == "z" else 1
+            maps = self._block_maps() if tiled else None
+            if maps is not None and not use_es:
+                # concat assembly: rows tile [0, m) in group order, so each
+                # group's (G, r, w) Jacobian is column-placed by a one-hot
+                # contraction (an MXU matmul) and row-placed by
+                # concatenation -- zero scatters
+                parts = []
+                for i, g in enumerate(groups):
+                    Z = _gather(z, g.zcols, n)
+                    W = _gather(theta, g.pcols, p)
+                    J = jax.vmap(jax.jacfwd(g.fn, argnums=0))(Z, W)  # (G, r, w)
+                    C = jnp.asarray(_onehot(g.zcols, n)[:, :, :n], z.dtype)
+                    Jp = jnp.einsum("grw,gwc->grc", J, C)
+                    parts.append(Jp.reshape(-1, n))
+                if general and self.general is not None:
+                    parts.append(jax.jacfwd(self.general)(z, theta))
+                if not parts:
+                    return jnp.zeros((m, n), z.dtype)
+                return jnp.concatenate(parts, axis=0)
             out = jnp.zeros((m, ncols + 1), z.dtype)
             for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
                 W = _gather(theta, g.pcols, p)
-                argnum = 0 if wrt == "z" else 1
                 J = jax.vmap(jax.jacfwd(g.fn, argnums=argnum))(Z, W)  # (G, r, w)
                 if use_es:
                     R = jnp.asarray(Rs[i], z.dtype)
@@ -260,12 +345,30 @@ class StructuredProblemFunctions:
 
         return jac
 
-    def _scatter_dual_grad(self, groups, general=False):
+    def _scatter_dual_grad(self, groups, general=False, kind=None):
         n, p = self._n, self._p
         use_es = self._einsum_assembly
         Cs = [_onehot(g.zcols, n) for g in groups] if use_es else None
 
         def dual_grad(z, theta, dual):
+            maps = self._block_maps() if kind is not None else None
+            if maps is not None and not use_es:
+                grad_list, maps_list = [], []
+                for i, g in enumerate(groups):
+                    Z = _gather(z, g.zcols, n)
+                    W = _gather(theta, g.pcols, p)
+                    Y = dual[jnp.asarray(g.rows)]
+
+                    def scal(zrow, wrow, yrow, fn=g.fn):
+                        return fn(zrow, wrow) @ yrow
+
+                    grad_list.append(jax.vmap(jax.grad(scal))(Z, W, Y))
+                    maps_list.append(maps[kind][i])
+                out = self._grad_blocks_place(grad_list, maps_list, z.dtype)
+                if general and self.general is not None:
+                    yg = dual[jnp.asarray(self.general_rows)]
+                    out = out + jax.grad(lambda zz: self.general(zz, theta) @ yg)(z)
+                return out
             out = jnp.zeros((n + 1,), z.dtype)
             for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)

@@ -98,27 +98,32 @@ def test_stream_kernels_match_xla_scan():
         np.testing.assert_allclose(np.asarray(x), np.asarray(xr), atol=1e-7)
 
 
-def test_stream_route_is_opt_in(monkeypatch):
-    """No default configuration may dispatch to the T-streaming kernels:
-    composed into the solver's vmapped while_loop they have faulted the
-    TPU device (BENCH_r03 quadruped_error; round-3 verdict weak #1). The
-    d=54 contact class (quadruped drop/gait/MPC, B>=128) must resolve to
-    the safe XLA scan -- or a VMEM-resident tile -- unless
-    CALIPSO_PALLAS_STREAM=1 explicitly opts in."""
+def test_stream_route_kill_switch(monkeypatch):
+    """The T-streaming route is on by default (the round-3 while_loop
+    hang was fixed by the single-grid manual-DMA rewrite, validated on
+    TPU inside the full solver nest), and CALIPSO_PALLAS_STREAM=0 must
+    fence exactly it -- default-config users keep a one-env-var kill
+    switch (round-3 verdict weak #1 lineage)."""
     from calipso_tpu.ops import riccati as rc
 
     monkeypatch.delenv("CALIPSO_PALLAS_STREAM", raising=False)
     monkeypatch.setenv("CALIPSO_PALLAS_RICCATI", "1")
-    # the faulting shapes: batched quadruped drop (T=8, d=54) and gait
-    # (T=41, d=54) at library-user batch sizes, plus a huge-d outlier
-    for B, T, d in [(128, 8, 54), (256, 8, 54), (128, 41, 54), (2048, 21, 80)]:
-        route = rc._use_pallas(B, T, d, jnp.dtype(jnp.float32), on_tpu=True)
-        assert route is None or route[0] == "resident", (B, T, d, route)
-    # opted in, the stream route becomes reachable again for shapes whose
-    # horizon cannot sit resident in VMEM
-    monkeypatch.setenv("CALIPSO_PALLAS_STREAM", "1")
+    # contact-class shapes whose horizon cannot sit resident in VMEM
+    # route to the stream kernels by default
     route = rc._use_pallas(256, 8, 54, jnp.dtype(jnp.float32), on_tpu=True)
     assert route == ("stream", 256)
+    route = rc._use_pallas(128, 41, 54, jnp.dtype(jnp.float32), on_tpu=True)
+    assert route == ("stream", 128)
+    # the kill switch removes only the stream route (resident unaffected)
+    monkeypatch.setenv("CALIPSO_PALLAS_STREAM", "0")
+    assert rc._use_pallas(256, 8, 54, jnp.dtype(jnp.float32), on_tpu=True) is None
+    assert rc._use_pallas(128, 21, 9, jnp.dtype(jnp.float32), on_tpu=True) == (
+        "resident",
+        128,
+    )
+    # the global switch removes everything
+    monkeypatch.setenv("CALIPSO_PALLAS_RICCATI", "0")
+    assert rc._use_pallas(128, 21, 9, jnp.dtype(jnp.float32), on_tpu=True) is None
 
 
 def test_dispatch_falls_back_on_cpu():
