@@ -197,17 +197,29 @@ def measure_ceilings():
         """Marginal per-iteration time via two chain lengths inside one
         jit each: cancels BOTH the tunnel dispatch latency and any fixed
         per-call overhead. Inputs are perturbed per call (result-cache
-        hazard; see `force`)."""
+        hazard; see `force`), the first timed round is discarded (the
+        first post-compile dispatch has been observed to carry a >1 s
+        one-time cost), and the diff uses medians over 3 rounds (tunnel
+        round-trip jitter is tens of ms)."""
+        import statistics
+
         f1, f2 = make_fn(K1), make_fn(K2)
         force(f1(x))
         force(f2(x))
-        t0 = time.time()
-        force(f1(x + 1.0))
-        t1 = time.time() - t0
-        t0 = time.time()
-        force(f2(x + 2.0))
-        t2 = time.time() - t0
-        return max((t2 - t1) / (K2 - K1), 1e-12)
+        t1s, t2s = [], []
+        for rep in range(4):
+            t0 = time.time()
+            force(f1(x + 1.0 + rep))
+            t1 = time.time() - t0
+            t0 = time.time()
+            force(f2(x + 100.0 + rep))
+            t2 = time.time() - t0
+            if rep:  # discard round 0
+                t1s.append(t1)
+                t2s.append(t2)
+        return max(
+            (statistics.median(t2s) - statistics.median(t1s)) / (K2 - K1), 1e-12
+        )
 
     # HBM: dependent big copies (read + write each)
     x = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
@@ -220,7 +232,7 @@ def measure_ceilings():
             lambda a: lax.fori_loop(0, K, lambda i, v: jnp.sqrt(v * v + 1e-3), a)
         )
 
-    dt = marginal(make_copies, x, 4, 24)
+    dt = marginal(make_copies, x, 4, 44)
     out["hbm_gbps_measured"] = round(2 * x.size * 4 / dt / 1e9, 1)
 
     # MXU f32-highest matmul chain
@@ -248,7 +260,7 @@ def measure_ceilings():
 
         return jax.jit(lambda v: lax.fori_loop(0, 64 * K, body, v))
 
-    dt = marginal(make_fmas, y, 4, 24)
+    dt = marginal(make_fmas, y, 2, 12)
     out["vpu_fma_gflops_measured"] = round(64 * 64 * 2 * y.size / dt / 1e9, 0)
     return out
 
@@ -297,17 +309,26 @@ def bench_kernel_roofline(ceil):
 
             return jax.jit(f)
 
+        import statistics
+
         with jax.default_matmul_precision("highest"):
-            f1, f2 = make_chain(4), make_chain(16)
+            f1, f2 = make_chain(4), make_chain(24)
             force(f1(D, O))
             force(f2(D, O))
-            t0 = time.time()
-            force(f1(D + 0.5, O))
-            t1 = time.time() - t0
-            t0 = time.time()
-            force(f2(D + 1.0, O))
-            t2 = time.time() - t0
-            dt = max((t2 - t1) / 12, 1e-12)
+            t1s, t2s = [], []
+            for rep in range(4):
+                t0 = time.time()
+                force(f1(D + 0.5 * (rep + 1), O))
+                t1 = time.time() - t0
+                t0 = time.time()
+                force(f2(D + 0.7 * (rep + 1), O))
+                t2 = time.time() - t0
+                if rep:  # discard the first timed round (see marginal)
+                    t1s.append(t1)
+                    t2s.append(t2)
+            dt = max(
+                (statistics.median(t2s) - statistics.median(t1s)) / 20, 1e-12
+            )
         flops = B * T * FACTOR_FLOPS_PER_STAGE(d)
         bts = B * T * FACTOR_BYTES_PER_STAGE(d)
         gflops = flops / dt / 1e9

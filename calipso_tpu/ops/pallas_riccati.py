@@ -18,17 +18,26 @@ Status (v5e measurements, f32):
 * grid-per-scenario variant: exact but 3.5x SLOWER than the XLA scan
   (10.4 vs 3.0 ms at B=64, T=21, d=8) -- TPU grid programs serialize on
   one core. Kept as documentation of the negative result.
-* batch-in-lanes variant ((T, d, d, B), B on the 128-lane axis, small
-  contractions unrolled over d): 2.8x FASTER than the XLA vmapped scan
-  (1.17 vs 3.24 ms at B=128, T=21, d=8), max diff 2e-7. Split
-  factor/solve kernels are wired into the solver through
+* batch-in-lanes variants ((T, d, d, B), B on the 128-lane axis): the
+  round-4 ROW-INDEXED kernels keep the working set in VMEM refs and
+  dynamically index rows on the leading (untiled) axis instead of
+  masked whole-block extractions, cutting per-pivot overhead from ~4-5
+  full-block passes to the one rank-1 update. Split factor/solve
+  kernels are wired into the solver through
   jax.custom_batching.custom_vmap (ops/riccati.py factor_cv/solve_cv),
   ON by default in the winning shape regime (d>=6, batch>=32, f32;
-  CALIPSO_PALLAS_RICCATI=0 disables). End-to-end: +8-10% on batched
-  rocket solves (80.2 vs 74.4 solves/s at B=128, T=31) with identical
-  iteration counts. A Mosaic remote-compile hang previously seen with
-  pallas_call inside the solver's vmapped while_loop no longer
-  reproduces (re-validated at B=32/128, T=31/61/101, d=9).
+  CALIPSO_PALLAS_RICCATI=0 disables). Driver-recorded end-to-end:
+  +16-17% on batched rocket T=31 B=128 solves vs the XLA scan
+  (rocket_batch_pallas_speedup, BENCH_r04).
+* T-streaming variants for horizons that cannot sit resident in VMEM
+  (d=54 contact class): single lanes-tile grid + manual double-buffered
+  DMA over the horizon. Round 3's formulation (grid (B/Bt, T) with a
+  cross-grid-step scratch carry) HUNG when composed into a
+  lax.while_loop (BENCH_r03's quadruped device fault; isolated repro:
+  fori OK / while hangs) -- the rewrite passes that composition and the
+  full batched-quadruped solver nest on TPU (128/128 converged,
+  BENCH_r04 quadruped_*). CALIPSO_PALLAS_STREAM=0 fences just this
+  route.
 """
 
 from __future__ import annotations

@@ -493,21 +493,23 @@ def _riccati_blocks(layout, st, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
             table.setdefault(key_fn(sp), []).append(sp)
         return table.values()
 
-    gxp = jnp.pad(gx, ((0, 0), (0, 1))) if gx.shape[0] else gx
+    def span_block(M, sp, stage):
+        """(r, dmax) block of M for one span x one stage, by STATIC row
+        and column slices (span rows are contiguous, stage columns are
+        contiguous): no elementwise gather -- the gather formulation's
+        custom fusions measured ~6.5 s of a 52 s batched d=54 solve."""
+        cs, dcol = st.col_starts[stage], st.col_dims[stage]
+        blkm = M[sp.row_start : sp.row_start + sp.num_rows, cs : cs + dcol]
+        return jnp.pad(blkm, ((0, 0), (0, st.dmax - dcol)))
+
     for group in grouped(
         st.eq_spans, lambda sp: (sp.num_rows, sp.two_stage, st.col_dims[sp.stage], sp.next_width)
     ):
-        r = group[0].num_rows
-        rows = jnp.asarray(
-            np.stack([np.arange(sp.row_start, sp.row_start + sp.num_rows) for sp in group])
-        )  # (G, r)
         t_idx = jnp.asarray(np.array([sp.stage for sp in group]))
-        cols1 = blk[t_idx]  # (G, dmax)
-        J1 = gxp[rows[:, :, None], cols1[:, None, :]]  # (G, r, dmax)
+        J1 = jnp.stack([span_block(gx, sp, sp.stage) for sp in group])  # (G, r, dmax)
         D = D.at[t_idx].add(jnp.einsum("grw,grv->gwv", J1, J1) / ceq)
         if group[0].two_stage:
-            cols2 = blk[t_idx + 1]
-            J2 = gxp[rows[:, :, None], cols2[:, None, :]]
+            J2 = jnp.stack([span_block(gx, sp, sp.stage + 1) for sp in group])
             D = D.at[t_idx + 1].add(jnp.einsum("grw,grv->gwv", J2, J2) / ceq)
             O = O.at[t_idx].add(jnp.einsum("grw,grv->gwv", J2, J1) / ceq)
 
@@ -517,26 +519,27 @@ def _riccati_blocks(layout, st, Hxx, gx, hx, s, t, rho, eps_p, eps_d):
     # not over-regularize
     rg = st.num_general
     if rg and st.general_stages:
-        Jgp = jnp.pad(gx[gx.shape[0] - rg :], ((0, 0), (0, 1)))
+        Jg = gx[gx.shape[0] - rg :]
         tg_idx = jnp.asarray(np.array(st.general_stages))
-        G = Jgp[:, blk[tg_idx]]  # (rg, k, dmax)
+        G = jnp.stack(
+            [
+                jnp.pad(
+                    Jg[:, st.col_starts[t] : st.col_starts[t] + st.col_dims[t]],
+                    ((0, 0), (0, st.dmax - st.col_dims[t])),
+                )
+                for t in st.general_stages
+            ],
+            axis=1,
+        )  # (rg, k, dmax)
         D = D.at[tg_idx].add(jnp.einsum("rkw,rkv->kwv", G, G) / ceq)
 
     if hx.shape[0]:
-        hxp = jnp.pad(hx, ((0, 0), (0, 1)))
-        Chxp = jnp.pad(Chx, ((0, 0), (0, 1)))
         for group in grouped(
             st.cone_spans, lambda sp: (sp.num_rows, st.col_dims[sp.stage])
         ):
-            rows = jnp.asarray(
-                np.stack(
-                    [np.arange(sp.row_start, sp.row_start + sp.num_rows) for sp in group]
-                )
-            )
             t_idx = jnp.asarray(np.array([sp.stage for sp in group]))
-            cols = blk[t_idx]
-            J = hxp[rows[:, :, None], cols[:, None, :]]
-            Jc = Chxp[rows[:, :, None], cols[:, None, :]]
+            J = jnp.stack([span_block(hx, sp, sp.stage) for sp in group])
+            Jc = jnp.stack([span_block(Chx, sp, sp.stage) for sp in group])
             b = jnp.einsum("grw,grv->gwv", J, Jc)
             D = D.at[t_idx].add(0.5 * (b + jnp.swapaxes(b, 1, 2)))
 

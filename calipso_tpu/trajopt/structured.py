@@ -101,14 +101,15 @@ class StructuredProblemFunctions:
         n, p = int(num_variables), int(num_parameters)
         self.dims = Dimensions(n, p, int(num_equality), int(num_cone))
         self._n, self._p = n, p
-        # assembly strategy: one-hot einsum contractions for small dense
-        # targets (see _onehot; the schur-backend regime), index scatters
-        # for large ones (the einsum's O(m n) per-stage cost outgrows the
-        # scatter's O(r w) around the riccati crossover). Opt-in via
-        # CALIPSO_EINSUM_ASSEMBLY=1 until the XLA:TPU compile time of the
-        # einsum-dense program is confirmed sane (a first TPU compile of
-        # the flagship with it exceeded 400 s where the scatter program
-        # takes ~37 s; runtime correctness is test-covered either way)
+        # assembly strategy (round 4): the default hot path has NO
+        # elementwise scatter anywhere -- Hessians assemble directly in
+        # stage-block form (lagrangian_hessian_blocks), Jacobians by
+        # one-hot column contraction + row concatenation, gradients by
+        # stage-block placement + from_blocks, values by concatenation.
+        # The historical full one-hot einsum formulation stays reachable
+        # via CALIPSO_EINSUM_ASSEMBLY=1 and the scatter formulation is
+        # the fallback when a problem's groups defeat the static block
+        # maps (_block_maps() -> None) or row tiling.
         import os
 
         self._einsum_assembly = (
