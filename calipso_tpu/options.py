@@ -141,6 +141,12 @@ class Options:
     #   "serial"   -> reference-shaped masked while_loops
     #   "parallel" -> batched candidate evaluation (identical accept rule)
     line_search_mode: str = "auto"
+    # candidates evaluated per batched chunk in "parallel" mode: the
+    # chunked loop only continues when no candidate of the current chunk
+    # is accepted, so expensive constraint oracles (contact dynamics)
+    # are evaluated ~width times instead of max_residual_line_search + 1
+    # times per iteration; selection is bit-identical to the serial loop
+    parallel_line_search_width: int = 8
 
     # differentiation (reference options.jl:53)
     differentiate: bool = False

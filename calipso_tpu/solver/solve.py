@@ -358,6 +358,25 @@ def make_solve(fns, layout, opts, callbacks=None):
             opts.scaling_regularization,
         )
 
+        # the ladder while carries ONLY the varying pieces of the
+        # factorization (factor blocks + eps_p): the loop-invariant dense
+        # gx/hx (O(m n) per lane -- ~1.2 MB/lane for the d=54 contact
+        # class) must not ride the carry, where the body's pass-through
+        # write costs a full copy per trip
+        def core_of(fact):
+            return (
+                fact.L, fact.d, fact.M, fact.cr,
+                fact.Wg, fact.Lc, fact.dc, fact.spike,
+                fact.eps_p, fact.eps_d,
+            )
+
+        def fact_of(core):
+            L, dd, M, cr, Wg, Lc, dc, spike, e_p, e_d = core
+            return kkt.Factorization(
+                L, dd, M, gx, hx, s, t, rho, e_p, e_d,
+                cr, Wg=Wg, Lc=Lc, dc=dc, spike=spike,
+            )
+
         def cond(c):
             _, _, done, failed = c
             return (~done) & (~failed)
@@ -371,9 +390,12 @@ def make_solve(fns, layout, opts, callbacks=None):
             ok = kkt.inertia_ok(fact, n, me, mc, method, structure)
             e_p_next = jnp.where(ok, e_p, e_p * scale)  # IC-5
             failed = (~ok) & (e_p_next > max_reg)  # IC-6
-            return fact, e_p_next, ok, failed
+            return core_of(fact), e_p_next, ok, failed
 
-        fact, _, _, ic_failed = lax.while_loop(cond, body, (fact0, e_p1, ok0, jnp.asarray(False)))
+        core, _, _, ic_failed = lax.while_loop(
+            cond, body, (core_of(fact0), e_p1, ok0, jnp.asarray(False))
+        )
+        fact = fact_of(core)
         # primal_regularization_last updates only when the ladder ran
         # (reference inertia.jl: early return on IC-1 success)
         eps_p_last_new = jnp.where(ok0, eps_p_last, fact.eps_p)
@@ -514,19 +536,63 @@ def make_solve(fns, layout, opts, callbacks=None):
             return ok_filter & (c1 | c2)
 
         if opts.line_search_mode == "parallel":
-            # one batched (f, g, h) evaluation over every backtracking
-            # candidate alpha_s * 0.5^k, then select the first accepted --
-            # the serial loop's result, without the serial eval chain
-            alphas = candidate_alphas(alpha_s, opts.max_residual_line_search)
-            ms, ths = jax.vmap(cand_eval)(alphas)
-            accepted_v = jax.vmap(
-                lambda a, mh, th: accept_rule(a, mh, th)
-            )(alphas, ms, ths)
-            # the serial loop never tests the final fallback candidate
-            accepted_v = accepted_v.at[-1].set(False)
-            any_acc = jnp.any(accepted_v)
-            idx = jnp.where(any_acc, jnp.argmax(accepted_v), alphas.shape[0] - 1)
-            alpha, m_cand, t_cand = alphas[idx], ms[idx], ths[idx]
+            # CHUNKED batched line search: evaluate W candidates
+            # alpha * 0.5^k at a time and only continue to the next chunk
+            # if none is accepted. Acceptance almost always happens in the
+            # first few candidates, so this does ~W (f, g, h) evaluations
+            # where the round-3 formulation always did
+            # max_residual_line_search + 1 = 26 -- a large share of the
+            # iteration for expensive constraint oracles (contact
+            # dynamics). Selection is bit-identical to the one-shot
+            # parallel evaluation and to the serial loop: same candidate
+            # floats (chained cumprod = one long cumprod), same first
+            # accepted index, same untested final fallback candidate.
+            max_k = opts.max_residual_line_search  # candidates 0..max_k
+            W = max(1, min(opts.parallel_line_search_width, max_k + 1))
+            num_chunks = -(-(max_k + 1) // W)
+            zero = jnp.zeros((), dtype)
+
+            def chunk_cond(c):
+                found, chunk = c[0], c[1]
+                return (~found) & (chunk < num_chunks)
+
+            def chunk_body(c):
+                found, chunk, a_base, alpha_f, m_f, t_f = c
+                alphas = candidate_alphas(a_base, W - 1)  # W entries
+                ms, ths = jax.vmap(cand_eval)(alphas)
+                gidx = chunk * W + jnp.arange(W)
+                acc = (
+                    jax.vmap(accept_rule)(alphas, ms, ths)
+                    # the serial loop never tests the final fallback
+                    # candidate (index max_k) or the over-shoot padding
+                    & (gidx < max_k)
+                )
+                any_acc = jnp.any(acc)
+                is_last = chunk == num_chunks - 1
+                j_fb = jnp.clip(max_k - chunk * W, 0, W - 1)
+                sel = jnp.where(any_acc, jnp.argmax(acc), j_fb)
+                take = any_acc | is_last
+                return (
+                    any_acc,
+                    chunk + 1,
+                    alphas[-1] * opts.scaling_line_search,
+                    jnp.where(take, alphas[sel], alpha_f),
+                    jnp.where(take, ms[sel], m_f),
+                    jnp.where(take, ths[sel], t_f),
+                )
+
+            _, _, _, alpha, m_cand, t_cand = lax.while_loop(
+                chunk_cond,
+                chunk_body,
+                (
+                    jnp.asarray(False),
+                    jnp.zeros((), jnp.int32),
+                    alpha_s,
+                    alpha_s,
+                    zero,
+                    zero,
+                ),
+            )
         else:
             m0, t0 = cand_eval(alpha_s)
 
