@@ -362,7 +362,7 @@ def bench_quadruped_batch():
     from calipso_tpu import TrajOptSolver
     from calipso_tpu.models import quadruped
 
-    B = int(os.environ.get("BENCH_QUAD_BATCH", "256"))  # ~same wall time as B=128: the batch axis is nearly free (sequential-chain-bound)
+    B = int(os.environ.get("BENCH_QUAD_BATCH", "128"))  # measured best solves/s (post ladder-carry fix the batch scales ~linearly; 128: 6.3/s vs 256: 5.8/s)
     H = 8
     if os.environ.get("BENCH_QUAD_PALLAS", "1") == "0":
         # A/B switch: disable the (default-on) stream kernels for this run

@@ -135,18 +135,27 @@ class StructuredProblemFunctions:
         # docs/performance.md). Holds by construction for trajopt
         # transcriptions (dynamics rows, then per-stage rows in stage
         # order, then general); verified here, scatter fallback otherwise.
-        def _rows_tiled(groups, m, general_rows):
+        def _rows_order(groups, m, general_rows):
+            """Row-concat plan: None if the groups' rows do not exactly
+            cover [0, m); otherwise "identity" when the concat order IS
+            row order, or a static permutation (np argsort) to apply
+            after concatenation (e.g. per-foot SOC groups whose rows
+            interleave across stages)."""
             parts = [np.asarray(g.rows).ravel() for g in groups]
             if general_rows is not None:
                 parts.append(np.asarray(general_rows).ravel())
             cat = np.concatenate(parts) if parts else np.zeros((0,), np.int64)
-            return cat.size == m and np.array_equal(cat, np.arange(m))
+            if cat.size != m or not np.array_equal(np.sort(cat), np.arange(m)):
+                return None
+            if np.array_equal(cat, np.arange(m)):
+                return "identity"
+            return np.argsort(cat, kind="stable")
 
-        self._eq_rows_tiled = _rows_tiled(
+        self._eq_rows_tiled = _rows_order(
             self.eq_groups, me,
             self.general_rows if general_equality is not None else None,
         )
-        self._cone_rows_tiled = _rows_tiled(self.cone_groups, mc, None)
+        self._cone_rows_tiled = _rows_order(self.cone_groups, mc, None)
 
         # ---- scalar objective ------------------------------------------------
 
@@ -170,7 +179,7 @@ class StructuredProblemFunctions:
             tiled = self._eq_rows_tiled if general else self._cone_rows_tiled
 
             def fn(z, theta):
-                if tiled and not use_es:
+                if tiled is not None and not use_es:
                     parts = []
                     for g in groups:
                         Z = _gather(z, g.zcols, n)
@@ -180,7 +189,10 @@ class StructuredProblemFunctions:
                         parts.append(self.general(z, theta))
                     if not parts:
                         return jnp.zeros((m,), z.dtype)
-                    return jnp.concatenate(parts)
+                    out = jnp.concatenate(parts)
+                    if isinstance(tiled, np.ndarray):
+                        out = out[jnp.asarray(tiled)]
+                    return out
                 out = jnp.zeros((m,), z.dtype)
                 for i, g in enumerate(groups):
                     Z = _gather(z, g.zcols, n)
@@ -297,19 +309,20 @@ class StructuredProblemFunctions:
             Rs = [_onehot(g.rows, m) for g in groups]
             Cs = [_onehot(g.zcols if wrt == "z" else g.pcols, ncols) for g in groups]
         tiled = (
-            wrt == "z"
-            and kind is not None
-            and (self._eq_rows_tiled if kind == "eq" else self._cone_rows_tiled)
+            (self._eq_rows_tiled if kind == "eq" else self._cone_rows_tiled)
+            if (wrt == "z" and kind is not None)
+            else None
         )
 
         def jac(z, theta):
             argnum = 0 if wrt == "z" else 1
-            maps = self._block_maps() if tiled else None
+            maps = self._block_maps() if tiled is not None else None
             if maps is not None and not use_es:
-                # concat assembly: rows tile [0, m) in group order, so each
-                # group's (G, r, w) Jacobian is column-placed by a one-hot
-                # contraction (an MXU matmul) and row-placed by
-                # concatenation -- zero scatters
+                # concat assembly: the groups' rows exactly cover [0, m),
+                # so each group's (G, r, w) Jacobian is column-placed by
+                # a one-hot contraction (an MXU matmul) and row-placed by
+                # concatenation (+ a static row-permutation gather when
+                # the concat order is not row order) -- zero scatters
                 parts = []
                 for i, g in enumerate(groups):
                     Z = _gather(z, g.zcols, n)
@@ -322,7 +335,10 @@ class StructuredProblemFunctions:
                     parts.append(jax.jacfwd(self.general)(z, theta))
                 if not parts:
                     return jnp.zeros((m, n), z.dtype)
-                return jnp.concatenate(parts, axis=0)
+                out = jnp.concatenate(parts, axis=0)
+                if isinstance(tiled, np.ndarray):
+                    out = out[jnp.asarray(tiled)]
+                return out
             out = jnp.zeros((m, ncols + 1), z.dtype)
             for i, g in enumerate(groups):
                 Z = _gather(z, g.zcols, n)
