@@ -289,7 +289,14 @@ def bench_kernel_roofline(ceil):
 
     rng = np.random.default_rng(0)
     out = {}
-    for tag, B, T, d in (("quadruped_d54", 256, 8, 54), ("flagship_n32", 2048, 1, 32)):
+    # K spreads sized so the marginal diff is ~100 ms >> the tunnel's
+    # timing jitter: the d=54 stream call is ~1.6 ms (K 4->68), the n=32
+    # resident call ~0.1 ms (K 50->1250; fori_loop trip count does not
+    # affect compile time)
+    for tag, B, T, d, K1, K2 in (
+        ("quadruped_d54", 256, 8, 54, 4, 68),
+        ("flagship_n32", 2048, 1, 32, 50, 1250),
+    ):
         D = rng.normal(size=(B, T, d, d)).astype(np.float32)
         D = jnp.asarray(D @ np.transpose(D, (0, 1, 3, 2)) + 8 * d * np.eye(d, dtype=np.float32))
         O = jnp.asarray(0.1 * rng.normal(size=(B, max(T - 1, 0), d, d)).astype(np.float32))
@@ -312,7 +319,7 @@ def bench_kernel_roofline(ceil):
         import statistics
 
         with jax.default_matmul_precision("highest"):
-            f1, f2 = make_chain(4), make_chain(24)
+            f1, f2 = make_chain(K1), make_chain(K2)
             force(f1(D, O))
             force(f2(D, O))
             t1s, t2s = [], []
@@ -327,7 +334,8 @@ def bench_kernel_roofline(ceil):
                     t1s.append(t1)
                     t2s.append(t2)
             dt = max(
-                (statistics.median(t2s) - statistics.median(t1s)) / 20, 1e-12
+                (statistics.median(t2s) - statistics.median(t1s)) / (K2 - K1),
+                1e-12,
             )
         flops = B * T * FACTOR_FLOPS_PER_STAGE(d)
         bts = B * T * FACTOR_BYTES_PER_STAGE(d)

@@ -92,16 +92,17 @@ from jax.custom_batching import custom_vmap  # noqa: E402
 
 def _use_pallas(axis_size, T, d, dtype, on_tpu=None):
     """Route to the Pallas kernels only in their measured winning regime
-    (blocks large enough to amortize the masked ops, batch wide enough to
-    fill lanes; 2.8x standalone at B=128, T=21, d=8 on a v5e; +8-10%
-    end-to-end on batched rocket solves with identical iteration counts;
-    ~17x on the T=1 dense (schur) factorization at B=2048, d=32 vs the
-    XLA batched Cholesky custom-call). Batches whose VMEM footprint
-    exceeds one block are streamed through a lanes-axis grid
-    (batch_tile); returns the tile size, or None for the XLA fallback.
-    Default ON; CALIPSO_PALLAS_RICCATI=0 is the kill switch (an earlier
-    Mosaic remote-compile hang inside vmapped while_loop nests no longer
-    reproduces -- re-validated at B=32/128, T=31/61/101, d=9)."""
+    (blocks large enough to amortize the lane-formulation overhead,
+    batch wide enough to fill lanes). Measured on a v5e with the
+    marginal-K methodology (bench.py): the T=1 dense (schur)
+    factorization at B=2048, n=32 runs 2462 GFLOP/s -- ~22x the round-3
+    masked kernels and far above the XLA batched-Cholesky custom-call;
+    end-to-end batched rocket T=31 B=128 is ~1.16x the XLA scan
+    (BENCH_r04 rocket_batch_pallas_speedup). Batches whose VMEM
+    footprint exceeds one block run the manual-DMA T-streaming kernels
+    (640 GFLOP/s at B=256, T=8, d=54). Default ON;
+    CALIPSO_PALLAS_RICCATI=0 disables all Pallas routing and
+    CALIPSO_PALLAS_STREAM=0 fences just the streaming route."""
     import os
 
     if os.environ.get("CALIPSO_PALLAS_RICCATI", "1") != "1":
