@@ -120,8 +120,10 @@ def _use_pallas(axis_size, T, d, dtype, on_tpu=None):
         and dtype == jnp.float32
     ):
         return None
-    # pick the largest lanes tile that fits the 16 MB scoped-VMEM limit:
-    # 4 grid-streamed buffers, double-buffered by Mosaic, plus ~2
+    # pick the largest lanes tile whose VMEM footprint fits the RAISED
+    # 96 MB Mosaic scoped-VMEM limit (pallas_riccati._compiler_params)
+    # with margin -- the fits()/fits_stream() budgets below test against
+    # 60 MB: 4 grid-streamed buffers, double-buffered by Mosaic, plus ~2
     # buffer-sized loop temporaries -> ~10x one buffer's bytes. A
     # "resident" tile holds the whole (T, d, d, Bt) horizon in VMEM; when
     # no tile fits, the T-streaming kernels ("stream",
@@ -211,7 +213,10 @@ def _chol_vmap(axis_size, in_batched, S):
     S = _bcast(S, in_batched[0], axis_size)
     n = S.shape[-1]
     route = _use_pallas(axis_size, 1, n, S.dtype)
-    if route:
+    # only the resident lanes kernel implements the T=1 dense case; a
+    # ("stream", tile) route (unreachable today at T=1 but possible if
+    # the tile lists / fit thresholds change) falls back to XLA
+    if route and route[0] == "resident":
         from calipso_tpu.ops import pallas_riccati as pr
 
         L, _ = pr.factor_lanes(
@@ -238,7 +243,8 @@ def _chol_solve_vmap(axis_size, in_batched, L, b):
     b = _bcast(b, in_batched[1], axis_size)
     n = L.shape[-1]
     route = _use_pallas(axis_size, 1, n, L.dtype)
-    if route:
+    # resident-only, like _chol_vmap
+    if route and route[0] == "resident":
         from calipso_tpu.ops import pallas_riccati as pr
 
         x = pr.solve_lanes(

@@ -409,8 +409,12 @@ def make_solve(fns, layout, opts, callbacks=None):
     # ---- fraction-to-the-boundary cone search (reference solve.jl:193-221) --
 
     def candidate_alphas(a0, count):
-        """[a0, a0*c, a0*c^2, ...] (count+1 entries) by cumulative product,
-        matching the serial loop's repeated multiplication bit-for-bit."""
+        """[a0, a0*c, a0*c^2, ...] (count+1 entries) by cumulative product.
+        For the default power-of-two scaling_line_search (0.5) every
+        product is exact, so this matches the serial loop's repeated
+        multiplication bit-for-bit; for a non-power-of-two user value
+        cumprod's association order may differ from the serial chain by
+        ULPs (the selection logic is then equivalent only up to ULP)."""
         facs = jnp.concatenate(
             [
                 jnp.ones((1,), a0.dtype),
@@ -544,9 +548,12 @@ def make_solve(fns, layout, opts, callbacks=None):
             # max_residual_line_search + 1 = 26 -- a large share of the
             # iteration for expensive constraint oracles (contact
             # dynamics). Selection is bit-identical to the one-shot
-            # parallel evaluation and to the serial loop: same candidate
-            # floats (chained cumprod = one long cumprod), same first
-            # accepted index, same untested final fallback candidate.
+            # parallel evaluation and to the serial loop for the default
+            # power-of-two scaling_line_search (exact products: same
+            # candidate floats whether chained or cumprod'd, same first
+            # accepted index, same untested final fallback candidate);
+            # for non-power-of-two scalings the candidates agree only up
+            # to ULP (see candidate_alphas).
             max_k = opts.max_residual_line_search  # candidates 0..max_k
             W = max(1, min(opts.parallel_line_search_width, max_k + 1))
             num_chunks = -(-(max_k + 1) // W)
