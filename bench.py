@@ -236,11 +236,14 @@ def measure_ceilings():
     x = jnp.zeros((64, 1024, 1024), jnp.float32)  # 256 MB
 
     def make_copies(K):
-        # sqrt(v^2 + c): non-foldable across while iterations (linear +c
-        # or rev/transpose chains get algebraically collapsed into one
-        # pass), ~3 flops/element so still firmly bandwidth-bound
+        # sqrt(v + c) with v >= 0 maintained: a NESTED radical, which no
+        # algebraic rewrite collapses. The previous sqrt(v^2 + c) chain
+        # folds pairwise under the sqrt(x)^2 -> x simplification
+        # (observed: an "HBM rate" 2x the chip's physical bandwidth);
+        # linear chains collapse entirely. ~2 flops/element, firmly
+        # bandwidth-bound.
         return jax.jit(
-            lambda a: lax.fori_loop(0, K, lambda i, v: jnp.sqrt(v * v + 1e-3), a)
+            lambda a: lax.fori_loop(0, K, lambda i, v: jnp.sqrt(v + 1e-3), a)
         )
 
     dt = marginal(make_copies, x, 4, 44)
@@ -260,18 +263,29 @@ def measure_ceilings():
     out["mxu_f32_highest_gflops_measured"] = round(2 * 4096**3 / dt / 1e9, 0)
 
     # VPU: compute-bound FMA chain on a VMEM-sized block (64 FMAs per
-    # element per pass, one read+write per pass -> arithmetic-bound)
+    # element per pass, one read+write per pass -> arithmetic-bound).
+    # The multiplier is RUNTIME data, not a constant: a constant-
+    # coefficient linear chain v*c+e folds algebraically (the whole
+    # 64-FMA chain collapses to one), which made this ceiling swing
+    # 4.3-10.9 TFLOP/s across rounds depending on what the simplifier
+    # did; a data-dependent coefficient cannot fold.
     y = jnp.ones((512, 1024), jnp.float32)
 
     def make_fmas(K):
-        def body(i, v):
-            for _ in range(64):
-                v = v * 1.0000001 + 1e-7
-            return v
+        def f(v):
+            w = v * 1e-9 + 1.0000001  # runtime coefficient ~1
 
-        return jax.jit(lambda v: lax.fori_loop(0, 64 * K, body, v))
+            def body(i, v):
+                for _ in range(64):
+                    v = v * w + 1e-7
+                return v
 
-    dt = marginal(make_fmas, y, 2, 12)
+            return lax.fori_loop(0, 64 * K, body, v)
+
+        return jax.jit(f)
+
+    # K spread sized so the marginal diff is ~40 ms >> tunnel jitter
+    dt = marginal(make_fmas, y, 10, 60)
     out["vpu_fma_gflops_measured"] = round(64 * 64 * 2 * y.size / dt / 1e9, 0)
     return out
 
@@ -321,7 +335,12 @@ def bench_kernel_roofline(ceil):
                 def body(i, c):
                     Dc, _ = c
                     L, _M = jax.vmap(rc.factor_cv)(Dc, O)
-                    return (Dc + 1e-12 * L, L)
+                    # 1-element loop-carried perturbation: keeps the
+                    # chain serialized and inputs distinct per iteration
+                    # WITHOUT the full-array read-modify-write whose 3
+                    # extra HBM passes polluted the kernel rate ~25%
+                    Dc = Dc.at[0, 0, 0, 0].add(1e-12 * L[0, 0, 0, 0])
+                    return (Dc, L)
 
                 return lax.fori_loop(0, K, body, (D, jnp.zeros_like(D)))[1]
 

@@ -321,6 +321,154 @@ def solve_batched_lanes(D, O, b, interpret=False):
     return jnp.transpose(xl, (2, 0, 1))  # (B, T, d)
 
 
+# ---- blocked-panel primitives (round 5) -------------------------------------
+# The round-4 row-indexed kernels still pay one FULL-block pass per pivot:
+# the (d, d, B) trailing rank-1 update runs d times per Cholesky and the
+# substitution sweeps likewise -- the measured ~1.8x full-width factor
+# plus the ~2.5x sequential-pivot chain of the round-4 gap account
+# (docs/performance.md). These primitives factor by STATIC width-8 column
+# panels instead (d is 8-aligned by construction on the stream route and
+# for the flagship shapes): the whole pivot loop is unrolled in Python,
+# so every row/column restriction is a static slice (8-aligned on the
+# sublane axis, arbitrary on the leading axis), the sequential
+# sqrt/divide chain only touches a (d-c, 8, B) panel, and the trailing
+# matrix gets ONE rank-8 update per panel -- 8 independent FMAs the
+# compiler can pipeline -- with one read+write of the (shrinking)
+# trailing block per panel instead of per pivot. Executed element work
+# drops from ~d^3 per sweep to ~d^3/3 + O(w d^2) (the counted flops).
+
+_PANEL_W = 8
+
+
+def _cat_rows(parts):
+    """Leading-axis concat that drops zero-length parts (Mosaic rejects
+    zero-size vector operands that interpret mode tolerates)."""
+    parts = [p for p in parts if p.shape[0] > 0]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
+def _blocked_chol(S, write_row, read_strip, d: int, Bt: int, dtype):
+    """Right-looking blocked Cholesky of the symmetric (d, d, Bt) matrix
+    held in the VMEM ref S. Only the lower TILE triangle is read or
+    written (diagonal 8x8 tiles stay fully symmetric; tiles above the
+    tile diagonal are never touched and may hold garbage). write_row(c,
+    v) stores column c of L as a (d, Bt) transposed-factor row;
+    read_strip(c, lo, hi) loads rows [lo, hi) of it straight from the
+    ref. The trailing update runs as 8x8xBt REGISTER tiles (the
+    accumulator stays in vregs across the 8 unrolled terms; a spilled
+    full-block accumulator re-reads/re-writes multi-MB VMEM per term --
+    the measured VMEM-traffic wall of the first blocked variant).
+    Requires d % 8 == 0 (callers pad; see _pad8)."""
+    w = _PANEL_W
+    iow = lax.broadcasted_iota(jnp.int32, (w, 1), 0)  # (w, 1) panel mask
+    iow3 = lax.broadcasted_iota(jnp.int32, (1, w, 1), 1)
+    for p in range(d // w):
+        j0 = p * w
+        for k in range(w):
+            c = j0 + k
+            prow = S[c, j0 : j0 + w, :]  # (w, Bt) pivot row, panel cols
+            pval = jnp.sum(jnp.where(iow == k, prow, 0.0), axis=0)  # (Bt,)
+            inv = lax.rsqrt(pval)
+            piv = pval * inv
+            if c + 1 < d:
+                rest = S[c + 1 :, j0 : j0 + w, :]  # (d-c-1, w, Bt)
+                colk = jnp.sum(jnp.where(iow3 == k, rest, 0.0), axis=1) * inv
+                write_row(
+                    c, _cat_rows([jnp.zeros((c, Bt), dtype), piv[None, :], colk])
+                )
+                if k < w - 1:
+                    # rank-1 update restricted to the remaining panel
+                    lrow = _cat_rows(
+                        [jnp.zeros((k + 1, Bt), dtype), colk[: w - k - 1]]
+                    )  # (w, Bt): l_{panel rows, c}, zero through col c
+                    S[c + 1 :, j0 : j0 + w, :] = (
+                        rest - colk[:, None, :] * lrow[None, :, :]
+                    )
+            else:
+                write_row(c, _cat_rows([jnp.zeros((c, Bt), dtype), piv[None, :]]))
+        if j0 + w < d:
+            # rank-8 trailing update, register-tiled, lower tiles only
+            r0 = j0 + w
+            for rr in range(r0, d, w):
+                for cc in range(r0, rr + w, w):
+                    acc = jnp.zeros((w, w, Bt), dtype)
+                    for k in range(w):
+                        rv = read_strip(j0 + k, rr, rr + w)  # (w, Bt)
+                        cv = rv if cc == rr else read_strip(j0 + k, cc, cc + w)
+                        acc = acc + rv[:, None, :] * cv[None, :, :]
+                    S[rr : rr + w, cc : cc + w, :] = (
+                        S[rr : rr + w, cc : cc + w, :] - acc
+                    )
+
+
+def _blocked_forward_mat(S, read_strip, d: int, Bt: int, dtype):
+    """Solve L X = R in place by blocked column sweep: S holds R
+    (d, m, Bt) on entry and X on exit; read_strip(c, lo, hi) -> rows
+    [lo, hi) of column c of L in transposed-factor layout. The post-panel
+    block update runs as 8x8xBt register tiles like _blocked_chol's
+    trailing update. Requires d % 8 == 0 and m % 8 == 0."""
+    w = _PANEL_W
+    m = S.shape[1]
+    assert m % w == 0, (d, m)
+    iow = lax.broadcasted_iota(jnp.int32, (w, 1), 0)
+    for p in range(d // w):
+        j0 = p * w
+        for k in range(w):
+            c = j0 + k
+            ltpan = read_strip(c, j0, j0 + w)  # (w, Bt) panel rows of col c
+            pval = jnp.sum(jnp.where(iow == k, ltpan, 0.0), axis=0)  # (Bt,)
+            xj = S[c] / pval[None, :]  # (m, Bt)
+            S[c] = xj
+            if k < w - 1:
+                lmask = jnp.where(iow > k, ltpan, 0.0)  # zero through row c
+                S[j0 : j0 + w] = S[j0 : j0 + w] - lmask[:, None, :] * xj[None, :, :]
+        if j0 + w < d:
+            # rank-8 block update of the remaining rows, register-tiled
+            r0 = j0 + w
+            for rr in range(r0, d, w):
+                for cc in range(0, m, w):
+                    acc = jnp.zeros((w, w, Bt), dtype)
+                    for k in range(w):
+                        colv = read_strip(j0 + k, rr, rr + w)  # (w, Bt)
+                        xk = S[j0 + k, cc : cc + w, :]  # (w, Bt)
+                        acc = acc + colv[:, None, :] * xk[None, :, :]
+                    S[rr : rr + w, cc : cc + w, :] = (
+                        S[rr : rr + w, cc : cc + w, :] - acc
+                    )
+
+
+def _blocked_mtm_sub(S, read_D_tile, read_M_strip, gate, d: int, Bt: int, dtype):
+    """Write the lower tiles of S = D - gate * M'M in 8x8xBt register
+    tiles: the d-term contraction runs as a fori over 8-term chunks with
+    the inner terms unrolled, so the accumulator stays in vregs within a
+    chunk and loads are (8, Bt) strips. read_D_tile(rr, cc) -> the
+    (8, 8, Bt) tile of D; read_M_strip(i, lo) -> rows [lo, lo+8) of M row
+    i; gate is a traced bool (False -> S = D, with the garbage-input
+    contraction still computed but SELECTED away, NaN-safe)."""
+    w = _PANEL_W
+    nchunks = d // w
+    for rr in range(0, d, w):
+        for cc in range(0, rr + w, w):
+
+            def chunk(ci, acc, rr=rr, cc=cc):
+                for k in range(w):
+                    Mr = read_M_strip(ci * w + k, rr)
+                    Mc = Mr if cc == rr else read_M_strip(ci * w + k, cc)
+                    acc = acc + Mr[:, None, :] * Mc[None, :, :]
+                return acc
+
+            acc = lax.fori_loop(0, nchunks, chunk, jnp.zeros((w, w, Bt), dtype))
+            S[rr : rr + w, cc : cc + w, :] = read_D_tile(rr, cc) - jnp.where(
+                gate, acc, jnp.zeros_like(acc)
+            )
+
+
+def _use_blocked(d: int) -> bool:
+    """Blocked panels need an 8-aligned d and only pay off once the panel
+    restriction removes meaningful work (d >= 2 panels)."""
+    return d % _PANEL_W == 0 and d >= 2 * _PANEL_W
+
+
 # ---- row-indexed lanes kernels ----------------------------------------------
 # The original masked-extract formulation (_chol_lanes/_trisolve_lanes
 # above, kept for the fused and T-streaming variants) reads every row and
@@ -343,11 +491,23 @@ def _factor_lanes_kernel(D_ref, OT_ref, Lt_ref, M_ref, S_scr, d: int, T: int):
     B = D_ref.shape[-1]
     iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)  # (d, 1) row ids
     ior = lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)  # (d, 1, 1)
+    blocked = _use_blocked(d)
 
     def chol_into(t):
-        """Right-looking Cholesky of S_scr, L^T rows written to Lt_ref[t].
-        Row k of the (symmetric) trailing matrix IS column k, loaded
-        directly from the scratch ref."""
+        """Right-looking Cholesky of S_scr, L^T rows written to Lt_ref[t]
+        (blocked width-8 panels when d is 8-aligned; see the
+        blocked-panel primitives above). Row k of the (symmetric)
+        trailing matrix IS column k, loaded directly from the scratch
+        ref."""
+        if blocked:
+
+            def wr(c, v):
+                Lt_ref[t, c] = v
+
+            _blocked_chol(
+                S_scr, wr, lambda c, lo, hi: Lt_ref[t, c, lo:hi, :], d, B, dtype
+            )
+            return
 
         def body(k, _):
             rowk = S_scr[k]  # (d, B)
@@ -364,6 +524,11 @@ def _factor_lanes_kernel(D_ref, OT_ref, Lt_ref, M_ref, S_scr, d: int, T: int):
         rows, with X swept IN the S scratch (free after chol_into) so the
         per-pivot row read is a direct load, not a full-block mask."""
         S_scr[...] = R
+        if blocked:
+            _blocked_forward_mat(
+                S_scr, lambda c, lo, hi: Lt_ref[t, c, lo:hi, :], d, B, dtype
+            )
+            return S_scr[...]
 
         def body(j, _):
             colj = Lt_ref[t, j]  # (d, B) = L[:, j]
@@ -380,14 +545,26 @@ def _factor_lanes_kernel(D_ref, OT_ref, Lt_ref, M_ref, S_scr, d: int, T: int):
     def stage(t, with_mtm: bool):
         Dt = D_ref[t]
         if with_mtm:
-            # M_{t-1}^T M_{t-1} with direct row loads of M_ref
-            def mtm_body(i, acc):
-                row = M_ref[t - 1, i]  # (d, B)
-                return acc + row[:, None, :] * row[None, :, :]
+            if blocked:
+                w = _PANEL_W
+                _blocked_mtm_sub(
+                    S_scr,
+                    lambda rr, cc: D_ref[t, rr : rr + w, cc : cc + w, :],
+                    lambda i, lo: M_ref[t - 1, i, lo : lo + w, :],
+                    True,
+                    d,
+                    B,
+                    dtype,
+                )
+            else:
+                # M_{t-1}^T M_{t-1} with direct row loads of M_ref
+                def mtm_body(i, acc):
+                    row = M_ref[t - 1, i]  # (d, B)
+                    return acc + row[:, None, :] * row[None, :, :]
 
-            S_scr[...] = Dt - lax.fori_loop(
-                0, d, mtm_body, jnp.zeros((d, d, B), dtype)
-            )
+                S_scr[...] = Dt - lax.fori_loop(
+                    0, d, mtm_body, jnp.zeros((d, d, B), dtype)
+                )
         else:
             S_scr[...] = Dt
         chol_into(t)
@@ -543,59 +720,98 @@ def solve_lanes(L, M, b, interpret=False, batch_tile=None):
 # mis-schedule, and the same while_loop composition runs.
 
 
-def _factor_stream_kernel(D_hbm, OT_hbm, Lt_hbm, M_hbm, d: int, T: int, Bt: int):
+def _factor_stream_kernel(
+    D_hbm, OT_hbm, Lt_hbm, M_hbm, d: int, T: int, Bt: int, C: int = 1, ablate: tuple = ()
+):
+    """C is the stage-chunk width: each DMA moves C stages per slot
+    (C = 2 halves the copy/wait count -- the measured DMA floor of the
+    1-stage pipeline was ~2.3x the pure-volume floor, dominated by
+    per-copy issue/wait overhead, docs/performance.md gap table).
+    Requires T % C == 0 and OT_hbm padded to T rows. ablate is a
+    MEASUREMENT hook (docs/performance.md), not a public switch: any of
+    "mtm"/"chol"/"fwd" replaces that phase with a same-buffer copy so
+    the kernel's remaining time can be attributed by differencing
+    ablated runs against the full kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = D_hbm.dtype
-    To = OT_hbm.shape[0]
+    assert T % C == 0 and OT_hbm.shape[0] == T, (T, C, OT_hbm.shape)
+    nsup = T // C
     lane0 = pl.program_id(0) * Bt
     iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)
-    ior = lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)
 
     def body(Dbuf, Obuf, Ltbuf, Mbuf, S, sem_in, sem_out):
-        def in_dmas(slot, t):
+        def in_dmas(slot, s):
             return (
                 pltpu.make_async_copy(
-                    D_hbm.at[t, :, :, pl.ds(lane0, Bt)], Dbuf.at[slot], sem_in.at[slot, 0]
+                    D_hbm.at[pl.ds(s * C, C), :, :, pl.ds(lane0, Bt)],
+                    Dbuf.at[slot],
+                    sem_in.at[slot, 0],
                 ),
                 pltpu.make_async_copy(
-                    OT_hbm.at[jnp.minimum(t, To - 1), :, :, pl.ds(lane0, Bt)],
+                    OT_hbm.at[pl.ds(s * C, C), :, :, pl.ds(lane0, Bt)],
                     Obuf.at[slot],
                     sem_in.at[slot, 1],
                 ),
             )
 
-        def out_dmas(slot, t):
+        def out_dmas(slot, s, ci):
+            # per-STAGE output copies (even when the input side moves
+            # C-stage chunks): each stage's factor leaves as soon as it
+            # is computed, keeping output overlap fine-grained
+            t = s * C + ci
             return (
                 pltpu.make_async_copy(
-                    Ltbuf.at[slot], Lt_hbm.at[t, :, :, pl.ds(lane0, Bt)], sem_out.at[slot, 0]
+                    Ltbuf.at[slot, ci],
+                    Lt_hbm.at[t, :, :, pl.ds(lane0, Bt)],
+                    sem_out.at[slot, ci, 0],
                 ),
                 pltpu.make_async_copy(
-                    Mbuf.at[slot], M_hbm.at[t, :, :, pl.ds(lane0, Bt)], sem_out.at[slot, 1]
+                    Mbuf.at[slot, ci],
+                    M_hbm.at[t, :, :, pl.ds(lane0, Bt)],
+                    sem_out.at[slot, ci, 1],
                 ),
             )
 
-        def chol_into(slot):
-            """Right-looking Cholesky of S, L^T rows into Ltbuf[slot]."""
+        blocked = _use_blocked(d)
+
+        def chol_into(slot, ci):
+            """Right-looking Cholesky of S, L^T rows into Ltbuf[slot, ci]
+            (blocked width-8 panels when d is 8-aligned; see the
+            blocked-panel primitives above)."""
+            if blocked:
+
+                def wr(c, v):
+                    Ltbuf[slot, ci, c] = v
+
+                _blocked_chol(
+                    S, wr, lambda c, lo, hi: Ltbuf[slot, ci, c, lo:hi, :], d, Bt, dtype
+                )
+                return
 
             def cbody(k, _):
                 rowk = S[k]
                 pivot = jnp.sqrt(jnp.sum(jnp.where(iod == k, rowk, 0.0), axis=0))
                 colk = jnp.where(iod > k, rowk / pivot[None, :], 0.0)
-                Ltbuf[slot, k] = colk + jnp.where(iod == k, pivot[None, :], 0.0)
+                Ltbuf[slot, ci, k] = colk + jnp.where(iod == k, pivot[None, :], 0.0)
                 S[...] = S[...] - colk[:, None, :] * colk[None, :, :]
                 return 0
 
             lax.fori_loop(0, d, cbody, 0)
 
-        def forward_mat(slot, R):
-            """L X = R by column sweep over Ltbuf[slot] rows, X swept in
-            the S scratch (free after chol_into)."""
+        def forward_mat(slot, ci, R):
+            """L X = R by column sweep over Ltbuf[slot, ci] rows, X swept
+            in the S scratch (free after chol_into)."""
             S[...] = R
+            if blocked:
+                _blocked_forward_mat(
+                    S, lambda c, lo, hi: Ltbuf[slot, ci, c, lo:hi, :], d, Bt, dtype
+                )
+                return S[...]
 
             def fbody(j, _):
-                colj = Ltbuf[slot, j]
+                colj = Ltbuf[slot, ci, j]
                 pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)
                 xj = S[j] / pivot[None, :]
                 colj_s = jnp.where(iod > j, colj, 0.0)
@@ -610,64 +826,107 @@ def _factor_stream_kernel(D_hbm, OT_hbm, Lt_hbm, M_hbm, d: int, T: int, Bt: int)
         da.start()
         ob.start()
 
-        def stage(t, _):
-            slot = t % 2
-            nxt = (t + 1) % 2
+        def super_stage(s, _):
+            slot = s % 2
 
-            @pl.when(t + 1 < T)
+            @pl.when(s + 1 < nsup)
             def _():
-                da, ob = in_dmas(nxt, t + 1)
+                da, ob = in_dmas((s + 1) % 2, s + 1)
                 da.start()
                 ob.start()
 
-            da, ob = in_dmas(slot, t)
+            da, ob = in_dmas(slot, s)
             da.wait()
             ob.wait()
 
-            # S = D_t - M_{t-1}' M_{t-1} (M_{t-1} resident in the other slot)
-            def mtm_body(i, acc):
-                row = Mbuf[(t - 1) % 2, i]
-                return acc + row[:, None, :] * row[None, :, :]
-
-            MtM = lax.fori_loop(0, d, mtm_body, jnp.zeros((d, d, Bt), dtype))
-            S[...] = Dbuf[slot] - jnp.where(t > 0, MtM, jnp.zeros_like(MtM))
-
-            # slot reuse: stage t-2's output copies must have drained
-            @pl.when(t >= 2)
+            # slot reuse: super-stage s-2's output copies must have drained
+            @pl.when(s >= 2)
             def _():
-                dl, dm = out_dmas(slot, t - 2)
+                for ci in range(C):
+                    dl, dm = out_dmas(slot, s - 2, ci)
+                    dl.wait()
+                    dm.wait()
+
+            for ci in range(C):
+                t = s * C + ci
+
+                # S = D_t - M_{t-1}' M_{t-1} (M_{t-1} resident in the
+                # previous chunk slot or earlier in this slot)
+                if "mtm" in ablate:
+                    S[...] = Dbuf[slot, ci]
+                elif blocked:
+                    w = _PANEL_W
+
+                    def mprev_strip(i, lo, ci=ci):
+                        if ci == 0:
+                            return Mbuf[(s - 1) % 2, C - 1, i, lo : lo + w, :]
+                        return Mbuf[slot, ci - 1, i, lo : lo + w, :]
+
+                    _blocked_mtm_sub(
+                        S,
+                        lambda rr, cc, ci=ci: Dbuf[
+                            slot, ci, rr : rr + w, cc : cc + w, :
+                        ],
+                        mprev_strip,
+                        t > 0,
+                        d,
+                        Bt,
+                        dtype,
+                    )
+                else:
+
+                    def mtm_body(i, acc, ci=ci):
+                        row = (
+                            Mbuf[(s - 1) % 2, C - 1, i]
+                            if ci == 0
+                            else Mbuf[slot, ci - 1, i]
+                        )
+                        return acc + row[:, None, :] * row[None, :, :]
+
+                    MtM = lax.fori_loop(
+                        0, d, mtm_body, jnp.zeros((d, d, Bt), dtype)
+                    )
+                    S[...] = Dbuf[slot, ci] - jnp.where(
+                        t > 0, MtM, jnp.zeros_like(MtM)
+                    )
+
+                if "chol" in ablate:
+                    Ltbuf[slot, ci] = Dbuf[slot, ci]  # bounded stand-ins
+                else:
+                    chol_into(slot, ci)
+                if "fwd" in ablate:
+                    Mt = Obuf[slot, ci]
+                else:
+                    Mt = forward_mat(slot, ci, Obuf[slot, ci])
+                Mbuf[slot, ci] = jnp.where(t < T - 1, Mt, jnp.zeros_like(Mt))
+                dl, dm = out_dmas(slot, s, ci)
+                dl.start()
+                dm.start()
+            return 0
+
+        lax.fori_loop(0, nsup, super_stage, 0)
+
+        @pl.when(nsup >= 2)
+        def _():
+            for ci in range(C):
+                dl, dm = out_dmas(nsup % 2, nsup - 2, ci)
                 dl.wait()
                 dm.wait()
 
-            chol_into(slot)
-            Mt = forward_mat(slot, Obuf[slot])
-            Mbuf[slot] = jnp.where(t < T - 1, Mt, jnp.zeros_like(Mt))
-            dl, dm = out_dmas(slot, t)
-            dl.start()
-            dm.start()
-            return 0
-
-        lax.fori_loop(0, T, stage, 0)
-
-        @pl.when(T >= 2)
-        def _():
-            dl, dm = out_dmas((T - 2) % 2, T - 2)
+        for ci in range(C):
+            dl, dm = out_dmas((nsup - 1) % 2, nsup - 1, ci)
             dl.wait()
             dm.wait()
 
-        dl, dm = out_dmas((T - 1) % 2, T - 1)
-        dl.wait()
-        dm.wait()
-
     pl.run_scoped(
         body,
-        Dbuf=pltpu.VMEM((2, d, d, Bt), dtype),
-        Obuf=pltpu.VMEM((2, d, d, Bt), dtype),
-        Ltbuf=pltpu.VMEM((2, d, d, Bt), dtype),
-        Mbuf=pltpu.VMEM((2, d, d, Bt), dtype),
+        Dbuf=pltpu.VMEM((2, C, d, d, Bt), dtype),
+        Obuf=pltpu.VMEM((2, C, d, d, Bt), dtype),
+        Ltbuf=pltpu.VMEM((2, C, d, d, Bt), dtype),
+        Mbuf=pltpu.VMEM((2, C, d, d, Bt), dtype),
         S=pltpu.VMEM((d, d, Bt), dtype),
         sem_in=pltpu.SemaphoreType.DMA((2, 2)),
-        sem_out=pltpu.SemaphoreType.DMA((2, 2)),
+        sem_out=pltpu.SemaphoreType.DMA((2, C, 2)),
     )
 
 
@@ -675,7 +934,7 @@ def _pad8(d):
     return -(-d // 8) * 8
 
 
-def factor_lanes_stream(D, O, batch_tile, interpret=False):
+def factor_lanes_stream(D, O, batch_tile, interpret=False, ablate=()):
     """T-streaming batched factor (same contract as factor_lanes):
     single lanes-tile grid + manual double-buffered horizon DMA. Blocks
     are padded to 8-aligned d (identity diagonal, so padded dimensions
@@ -697,9 +956,20 @@ def factor_lanes_stream(D, O, batch_tile, interpret=False):
     OTl = (
         jnp.transpose(O, (1, 3, 2, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
     )
+    # the chunked kernel wants exactly T coupling blocks (the last is
+    # never read into a factorization, only DMA'd)
+    if OTl.shape[0] < T:
+        OTl = jnp.concatenate(
+            [OTl, jnp.zeros((T - OTl.shape[0], d, d, B), dtype)], axis=0
+        )
     Bt = batch_tile
     assert B % Bt == 0, (B, Bt)
-    kernel = functools.partial(_factor_stream_kernel, d=d, T=T, Bt=Bt)
+    # 2-stage DMA chunks when the horizon allows: halves the per-stage
+    # copy/wait overhead that dominates the 1-stage pipeline's DMA floor
+    C = 2 if (T % 2 == 0 and T >= 4) else 1
+    kernel = functools.partial(
+        _factor_stream_kernel, d=d, T=T, Bt=Bt, C=C, ablate=tuple(ablate)
+    )
     anyspec = pl.BlockSpec(memory_space=pl.ANY)
     Ltl, Ml = pl.pallas_call(
         kernel,

@@ -152,10 +152,11 @@ def _use_pallas(axis_size, T, d, dtype, on_tpu=None):
         return ("resident", axis_size)
     if os.environ.get("CALIPSO_PALLAS_STREAM", "1") != "1":
         return None
-    # stream buffers: 2x double-buffered (d, d, Bt) blocks for each of
-    # the ~4 streams + substitution scratch -> ~9 blocks + margin
+    # stream buffers: 2x double-buffered 2-STAGE chunks (C=2, round 5)
+    # for each of the ~4 streams + substitution scratch -> 17 blocks +
+    # margin
     def fits_stream(tile):
-        return 12 * tile * d * d * dtype.itemsize < 60 * 2**20
+        return 18 * tile * d * d * dtype.itemsize < 60 * 2**20
 
     for tile in (512, 256, 128):
         if axis_size % tile == 0 and fits_stream(tile):

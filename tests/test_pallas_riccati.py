@@ -56,7 +56,9 @@ def test_factor_solve_lanes_match_xla_scan():
     from calipso_tpu.ops import riccati as rc
 
     rng = np.random.default_rng(4)
-    for B, T, d, tile in [(4, 5, 6, None), (4, 1, 5, None), (6, 3, 4, 3)]:
+    # d=16 exercises the round-5 blocked-panel path (d 8-aligned and
+    # >= 2 panels); the small-d cases stay on the row-indexed path
+    for B, T, d, tile in [(4, 5, 6, None), (4, 1, 5, None), (6, 3, 4, 3), (3, 2, 16, None)]:
         D = np.zeros((B, T, d, d))
         O = np.zeros((B, max(T - 1, 1), d, d))[:, : T - 1]
         b = rng.normal(size=(B, T, d))
@@ -81,7 +83,13 @@ def test_stream_kernels_match_xla_scan():
     from calipso_tpu.ops import riccati as rc
 
     rng = np.random.default_rng(6)
-    for B, T, d, tile in [(4, 5, 6, 2), (4, 1, 5, 4), (6, 3, 4, 3)]:
+    # d=16 hits the blocked-panel path directly; d=13 pads to 16 inside
+    # the stream wrappers and hits it through the identity-padded route;
+    # T=4 cases run the 2-stage DMA chunk pipeline (C=2)
+    for B, T, d, tile in [
+        (4, 5, 6, 2), (4, 1, 5, 4), (6, 3, 4, 3), (3, 3, 16, 3), (2, 2, 13, 2),
+        (4, 4, 6, 2), (2, 4, 16, 2),
+    ]:
         D = np.zeros((B, T, d, d))
         O = np.zeros((B, max(T - 1, 1), d, d))[:, : T - 1]
         b = rng.normal(size=(B, T, d))
