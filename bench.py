@@ -452,12 +452,25 @@ def bench_quadruped_batch():
     dmax = max(nx + nu for nx, nu in zip(ts.num_states, ts.num_actions))
     fact_flops = iters * H * FACTOR_FLOPS_PER_STAGE(dmax)
     fact_bytes = iters * H * FACTOR_BYTES_PER_STAGE(dmax)
+    # lockstep trips >= per-lane max iterations; the cost-accounting
+    # counters are per-LANE totals whose lane-MAX bounds what the
+    # lockstep batch actually executed (vmapped while loops run until
+    # every lane is done) -- these are the multiplicities that close the
+    # docs/performance.md iteration budget
+    lockstep = int(total_i.max())
+    ladder = np.asarray(res.state.num_ladder)
+    refine = np.asarray(res.state.num_refine)
+    chunks = np.asarray(res.state.num_ls_chunks)
     return {
         "quadruped_batch": B,
         "quadruped_solved": int(solved_mask.sum()),
         "quadruped_solves_per_s": round(B / dt, 1),
         "quadruped_stage_block_d": dmax,
         "quadruped_total_inner_iterations": iters,
+        "quadruped_lockstep_iterations": lockstep,
+        "quadruped_ladder_refactorizations_max": int(ladder.max()),
+        "quadruped_refine_trips_max": int(refine.max()),
+        "quadruped_ls_chunks_max": int(chunks.max()),
         "quadruped_per_batch_wall_s": round(dt, 3),
         "quadruped_compile_s": round(compile_s, 1),
         "quadruped_fact_gflops_per_s_lower_bound": round(fact_flops / dt / 1e9, 1),

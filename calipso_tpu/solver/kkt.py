@@ -43,7 +43,7 @@ from calipso_tpu.ops import cones
 from calipso_tpu.ops.ldl import ldl_factor, ldl_solve, inertia_counts
 
 
-class BandHessian(NamedTuple):
+class BandHessian:
     """Lagrangian Hessian in stage-block tridiagonal form (structured
     trajopt backends; built by
     trajopt/structured.py:lagrangian_hessian_blocks): D (T, dmax, dmax)
@@ -52,12 +52,19 @@ class BandHessian(NamedTuple):
     by XLA -- for linear periodicity constraints), st the StageStructure.
     Never materializes the dense (n, n) Hessian on the factorization
     path: O(T d^2) memory per lane instead of O(n^2) (round-3 verdict
-    next-round #2)."""
+    next-round #2).
 
-    D: jnp.ndarray
-    O: jnp.ndarray
-    Hgen: jnp.ndarray  # or None
-    st: object  # StageStructure (trace-time static)
+    Registered as a pytree with `st` as STATIC aux data (identity
+    hash/eq -- one StageStructure per problem), so a BandHessian can
+    cross jit boundaries: the round-5 trace-dedup wraps the repeated
+    factorize/solve/matvec call sites in jax.jit (see solve.make_solve),
+    and the Hessian rides through as an ordinary argument."""
+
+    def __init__(self, D, O, Hgen, st):
+        self.D = D
+        self.O = O
+        self.Hgen = Hgen
+        self.st = st
 
     @property
     def dtype(self):
@@ -66,6 +73,13 @@ class BandHessian(NamedTuple):
     @property
     def num_variables(self):
         return self.st.num_variables
+
+
+jax.tree_util.register_pytree_node(
+    BandHessian,
+    lambda h: ((h.D, h.O, h.Hgen), h.st),
+    lambda st, children: BandHessian(children[0], children[1], children[2], st),
+)
 
 
 def hess_mv(Hxx, v):

@@ -83,6 +83,16 @@ class State(NamedTuple):
     # steps that escalated to the full-system LU after refinement failure
     # (reference search_direction.jl:22)
     num_fallbacks: jnp.ndarray
+    # cost-accounting counters (round 5): total inertia-ladder
+    # re-factorizations, refinement correction trips, and line-search
+    # chunk evaluations across the solve -- the per-iteration
+    # multiplicities that close the docs/performance.md budget. (No
+    # default values: a jnp default at class-definition time would
+    # initialize the backend at import, breaking the documented
+    # set-platform-before-first-use CPU recipe.)
+    num_ladder: jnp.ndarray
+    num_refine: jnp.ndarray
+    num_ls_chunks: jnp.ndarray
 
 
 # ---- filter (reference filter.jl:43-89) -------------------------------------
@@ -130,14 +140,28 @@ def sufficient_progress(v, v_cand, m, m_cand, v_tol, m_tol, mach_tol):
 # ---- iterative refinement (reference iterative_refinement.jl:1-53) ----------
 
 
-def refine_step(opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact, s, t, rho):
+def refine_step(
+    opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact, s, t, rho,
+    solve_fn=None, matvec_fn=None,
+):
     """Iteratively refine a search direction on the exact (matrix-free)
     6-block operator, with optional escalation to a full-system LU re-solve
     on catastrophic refinement failure (reference iterative_refinement.jl
-    + search_direction.jl:22). Returns (step, fell_back)."""
+    + search_direction.jl:22). Returns (step, fell_back). solve_fn /
+    matvec_fn are optional jit-deduped closures (see make_solve's
+    trace-dedup wrappers); the kkt defaults are used when absent."""
+    if matvec_fn is None:
+        matvec_fn = lambda Hxx_, d: kkt.matvec(
+            layout, Hxx_, gx, hx, s, t, rho, fact.eps_p, fact.eps_d, d
+        )
+    if solve_fn is None:
+        solve_fn = lambda fact_, err: kkt.solve_with(
+            layout, fact_, err, n, me, mc, opts.linear_solver, structure,
+            getattr(opts, "spike_mesh", None), getattr(opts, "spike_axis", None),
+        )
 
     def err_of(stp):
-        mv = kkt.matvec(layout, Hxx, gx, hx, s, t, rho, fact.eps_p, fact.eps_d, stp)
+        mv = matvec_fn(Hxx, stp)
         return Blocks(*(a - b for a, b in zip(res, mv)))
 
     err0 = err_of(step)
@@ -152,24 +176,21 @@ def refine_step(opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact
         done_now = (en <= opts.iterative_refinement_tolerance) & (
             i >= opts.min_iterative_refinement
         )
-        corr = kkt.solve_with(
-            layout, fact, err, n, me, mc, opts.linear_solver, structure,
-            getattr(opts, "spike_mesh", None), getattr(opts, "spike_axis", None),
-        )
+        corr = solve_fn(fact, err)
         stp2 = Blocks(*(jnp.where(done_now, a, a + b) for a, b in zip(stp, corr)))
         err2 = err_of(stp2)
         en2 = jnp.where(done_now, en, inf_norm(err2.all))
         err2 = Blocks(*(jnp.where(done_now, a, b) for a, b in zip(err, err2)))
         return stp2, err2, en2, i + (~done_now).astype(i.dtype), done_now
 
-    stp_f, _, en_f, _, _ = lax.while_loop(
+    stp_f, _, en_f, trips, _ = lax.while_loop(
         cond, body, (step, err0, en0, jnp.zeros((), jnp.int32), jnp.asarray(False))
     )
     # guard: never return a step worse than the unrefined one
     ok = en_f <= jnp.maximum(en0, opts.iterative_refinement_tolerance)
     best = Blocks(*(jnp.where(ok, a, b) for a, b in zip(stp_f, step)))
     if not opts.refinement_fallback:
-        return best, jnp.zeros((), jnp.int32)
+        return best, jnp.zeros((), jnp.int32), trips
     # failure escalation (reference search_direction.jl:22): re-solve the
     # step on the full nonsymmetric 6-block system with dense LU, gated on
     # the refined step solving fewer than ~2 digits of the system relative
@@ -194,9 +215,10 @@ def refine_step(opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact
         stp = Blocks(*(jnp.where(better, a, b) for a, b in zip(lu_step, best)))
         return stp, better.astype(jnp.int32)
 
-    return lax.cond(
+    stp, fb = lax.cond(
         failed, lu_fallback, lambda _: (best, jnp.zeros((), jnp.int32)), None
     )
+    return stp, fb, trips
 
 
 def _row_printer(j, i, r, o, sl, e, c, k, p, a, ep, ed):
@@ -257,6 +279,43 @@ def make_solve(fns, layout, opts, callbacks=None):
                 f"spike: horizon {T} must split into {P} chunks of >= 2 stages"
             )
     spike_mesh, spike_axis = opts.spike_mesh, opts.spike_axis
+    # ---- trace-dedup wrappers (round 5) -------------------------------
+    # The factorization / condensed solve / refinement matvec are each
+    # traced at MULTIPLE call sites (inertia ladder x2, main step +
+    # refinement trips, error operator), and each inline copy of the
+    # riccati/cone pipeline costs tens of thousands of jaxpr equations:
+    # jit-wrapping them makes every site one cached pjit call, which cut
+    # the d=54 contact program's trace+batching wall from ~407 s to
+    # ~30 s on the builder box (XLA inlines the calls back during
+    # optimization -- compiled code unchanged). The spike backend stays
+    # unwrapped: its solves run shard_map collectives that must stay in
+    # the caller's mesh context.
+    _dedup = opts.linear_solver != "spike"
+    _fact_method = "schur" if opts.linear_solver == "lu" else opts.linear_solver
+
+    def _factorize_raw(Hxx, gx, hx, s, t, rho, e_p, e_d):
+        return kkt.factorize(
+            layout, Hxx, gx, hx, s, t, rho, e_p, e_d, _fact_method, structure,
+            spike_mesh, spike_axis,
+        )
+
+    def _solve_with_raw(fact, res):
+        return kkt.solve_with(
+            layout, fact, res, n, me, mc, opts.linear_solver, structure,
+            spike_mesh, spike_axis,
+        )
+
+    def _matvec_raw(Hxx, gx, hx, s, t, rho, e_p, e_d, d):
+        return kkt.matvec(layout, Hxx, gx, hx, s, t, rho, e_p, e_d, d)
+
+    if _dedup:
+        _factorize_j = jax.jit(_factorize_raw)
+        _solve_with_j = jax.jit(_solve_with_raw)
+        _matvec_j = jax.jit(_matvec_raw)
+    else:
+        _factorize_j, _solve_with_j, _matvec_j = (
+            _factorize_raw, _solve_with_raw, _matvec_raw,
+        )
     # structured backends consume the Lagrangian Hessian directly in
     # stage-block tridiagonal form (kkt.BandHessian): no dense (n, n)
     # Hessian is ever materialized -- O(T d^2) memory per lane and no
@@ -332,11 +391,8 @@ def make_solve(fns, layout, opts, callbacks=None):
         # the 'lu' backend computes steps on the full system but runs the
         # inertia ladder on the condensed Schur factorization (the
         # reference likewise keeps QDLDL for inertia under :LU)
-        method = "schur" if opts.linear_solver == "lu" else opts.linear_solver
-        fact0 = kkt.factorize(
-            layout, Hxx, gx, hx, s, t, rho, e_p0, e_d0, method, structure,
-            spike_mesh, spike_axis,
-        )
+        method = _fact_method
+        fact0 = _factorize_j(Hxx, gx, hx, s, t, rho, e_p0, e_d0)
         ok0 = kkt.inertia_ok(fact0, n, me, mc, method, structure)
 
         # IC-2: rank-deficiency -> dual regularization scaled by kappa
@@ -378,32 +434,34 @@ def make_solve(fns, layout, opts, callbacks=None):
             )
 
         def cond(c):
-            _, _, done, failed = c
+            _, _, done, failed, _ = c
             return (~done) & (~failed)
 
         def body(c):
-            _, e_p, _, _ = c
-            fact = kkt.factorize(
-                layout, Hxx, gx, hx, s, t, rho, e_p, e_d1, method, structure,
-                spike_mesh, spike_axis,
-            )
+            _, e_p, _, _, trips = c
+            fact = _factorize_j(Hxx, gx, hx, s, t, rho, e_p, e_d1)
             ok = kkt.inertia_ok(fact, n, me, mc, method, structure)
             e_p_next = jnp.where(ok, e_p, e_p * scale)  # IC-5
             failed = (~ok) & (e_p_next > max_reg)  # IC-6
-            return core_of(fact), e_p_next, ok, failed
+            return core_of(fact), e_p_next, ok, failed, trips + 1
 
-        core, _, _, ic_failed = lax.while_loop(
-            cond, body, (core_of(fact0), e_p1, ok0, jnp.asarray(False))
+        core, _, _, ic_failed, ladder_trips = lax.while_loop(
+            cond, body, (core_of(fact0), e_p1, ok0, jnp.asarray(False), jnp.zeros((), jnp.int32))
         )
         fact = fact_of(core)
         # primal_regularization_last updates only when the ladder ran
         # (reference inertia.jl: early return on IC-1 success)
         eps_p_last_new = jnp.where(ok0, eps_p_last, fact.eps_p)
-        return fact, ic_failed, eps_p_last_new
+        return fact, ic_failed, eps_p_last_new, ladder_trips
 
     def refine(step, res, Hxx, gx, hx, fact, s, t, rho):
         return refine_step(
-            opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact, s, t, rho
+            opts, layout, structure, n, me, mc, step, res, Hxx, gx, hx, fact,
+            s, t, rho,
+            solve_fn=_solve_with_j,
+            matvec_fn=lambda Hxx_, d: _matvec_j(
+                Hxx_, gx, hx, s, t, rho, fact.eps_p, fact.eps_d, d
+            ),
         )
 
     # ---- fraction-to-the-boundary cone search (reference solve.jl:193-221) --
@@ -476,24 +534,24 @@ def make_solve(fns, layout, opts, callbacks=None):
         hx = fns.hx(x, theta)
 
         # inertia-corrected factorization
-        fact, ic_failed, eps_p_last = inertia_correction(
+        fact, ic_failed, eps_p_last, ladder_trips = inertia_correction(
             Hxx, gx, hx, s, t, st.rho, st.kappa, st.eps_p_last, dtype
         )
 
         # search direction + refinement
         fell_back = jnp.zeros((), jnp.int32)
+        refine_trips = jnp.zeros((), jnp.int32)
         if opts.linear_solver == "lu":
             # exact full-system solve; refinement unnecessary
             step = kkt.lu_solve_full(
                 layout, Hxx, gx, hx, s, t, st.rho, fact.eps_p, fact.eps_d, res
             )
         else:
-            step = kkt.solve_with(
-                layout, fact, res, n, me, mc, opts.linear_solver, structure,
-                spike_mesh, spike_axis,
-            )
+            step = _solve_with_j(fact, res)
             if opts.iterative_refinement:
-                step, fell_back = refine(step, res, Hxx, gx, hx, fact, s, t, st.rho)
+                step, fell_back, refine_trips = refine(
+                    step, res, Hxx, gx, hx, fact, s, t, st.rho
+                )
 
         # merit and its directional derivative (reference merit.jl:2-31)
         barrier_val = cones.barrier(layout, s)
@@ -588,7 +646,7 @@ def make_solve(fns, layout, opts, callbacks=None):
                     jnp.where(take, ths[sel], t_f),
                 )
 
-            _, _, _, alpha, m_cand, t_cand = lax.while_loop(
+            _, ls_chunks, _, alpha, m_cand, t_cand = lax.while_loop(
                 chunk_cond,
                 chunk_body,
                 (
@@ -619,7 +677,7 @@ def make_solve(fns, layout, opts, callbacks=None):
                 a2, m2, t2 = lax.cond(accepted, lambda _: (a, mh, th), halve, None)
                 return a2, m2, t2, k + (~accepted).astype(k.dtype), accepted
 
-            alpha, m_cand, t_cand, _, _ = lax.while_loop(
+            alpha, m_cand, t_cand, ls_chunks, _ = lax.while_loop(
                 ls_cond, ls_body, (alpha_s, m0, t0, jnp.zeros((), jnp.int32), jnp.asarray(False))
             )
 
@@ -667,6 +725,9 @@ def make_solve(fns, layout, opts, callbacks=None):
             total_i=st.total_i + 1,
             step_size=alpha,
             num_fallbacks=st.num_fallbacks + fell_back,
+            num_ladder=st.num_ladder + ladder_trips,
+            num_refine=st.num_refine + refine_trips,
+            num_ls_chunks=st.num_ls_chunks + ls_chunks,
         )
 
     def inner_body(st, theta):
@@ -820,6 +881,9 @@ def make_solve(fns, layout, opts, callbacks=None):
             cone_product_violation=z0,
             step_size=jnp.ones((), dtype),
             num_fallbacks=i0,
+            num_ladder=i0,
+            num_refine=i0,
+            num_ls_chunks=i0,
         )
 
     def solve(x0, theta=None, warm: Optional[Blocks] = None) -> State:

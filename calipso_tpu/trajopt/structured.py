@@ -228,6 +228,31 @@ class StructuredProblemFunctions:
         self.gty_xt = self._scatter_dual_mixed(self.eq_groups, general=True)
         self.htz_xt = self._scatter_dual_mixed(self.cone_groups)
 
+        # ---- trace-time dedup (round 5) ---------------------------------
+        # Each evaluator is jit-wrapped so it lowers to ONE cached
+        # closed-jaxpr call: the contact-class solve program inlined the
+        # grouped hessian/jacfwd transforms at every call site
+        # (residual, line-search chunk, oracle, refinement), producing a
+        # ~1.4M-primitive jaxpr whose trace took 126 s and whose vmap
+        # RE-batching another ~244 s (cProfile, d=54 B=128) -- the
+        # "compile wall" of BENCH_r04 was in fact a TRACE wall that the
+        # persistent XLA cache can never absorb. With pjit-call dedup the
+        # body is traced and batched once per evaluator; XLA inlines the
+        # calls again during optimization, so the compiled code is
+        # unchanged. lagrangian_hessian_blocks/_xx take constraint_tensor
+        # as a static positional arg (index 4).
+        for _name in (
+            "f", "g", "h", "fx", "gx", "hx", "gt", "ht",
+            "gty_x", "htz_x", "fxt", "gty_xt", "htz_xt",
+        ):
+            setattr(self, _name, jax.jit(getattr(self, _name)))
+        self.lagrangian_hessian_blocks = jax.jit(
+            self.lagrangian_hessian_blocks, static_argnums=4
+        )
+        self.lagrangian_hessian_xx = jax.jit(
+            self.lagrangian_hessian_xx, static_argnums=4
+        )
+
     # ---- scatter builders ----------------------------------------------------
 
     def _grad_blocks_place(self, grad_list, maps_list, dtype):

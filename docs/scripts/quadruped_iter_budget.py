@@ -62,7 +62,11 @@ def chain(fn, K, x, *rest):
         return (xc, out)
 
     out0 = fn(x, *rest)
-    return lax.fori_loop(0, K, body, (x, out0))[1]
+    outs = lax.fori_loop(0, K, body, (x, out0))[1]
+    # reduce to one scalar so bench.force works on any output pytree
+    return sum(
+        jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(outs)
+    )
 
 
 def main():
@@ -161,7 +165,12 @@ def main():
     # 5. one condensed solve (condense + banded solve + expand), plus
     # 6. one refinement error matvec -- measured through a prebuilt factor
     def prep(xi, yi, zi, si, ti):
-        Hxx, gxi, hxi = build_fact(xi, yi, zi, si, ti)
+        # BandHessian carries a static (non-array) StageStructure, so it
+        # cannot cross the jit boundary: return the block arrays instead
+        D, O, _Hgen = fns.lagrangian_hessian_blocks(xi, theta[0], yi, zi, True)
+        Hxx = kkt.BandHessian(D, O, None, st)
+        gxi = fns.gx(xi, theta[0])
+        hxi = fns.hx(xi, theta[0])
         fact = kkt.factorize(layout, Hxx, gxi, hxi, si, ti, rho, ep, ed, "riccati", st)
         res = kkt.Blocks(
             xi * 0.1,
@@ -171,11 +180,11 @@ def main():
             zi * 0.5,
             ti * 0.1,
         )
-        return Hxx, fact, res
+        return D, O, fact, res
 
-    Hxx_b, fact_b, res_b = jax.jit(jax.vmap(prep))(x, y, z, s_, t_)
+    D_b, O_b, fact_b, res_b = jax.jit(jax.vmap(prep))(x, y, z, s_, t_)
 
-    def solve_one(resx, Hxx, fact, res):
+    def solve_one(resx, Db, Ob, fact, res):
         res = res._replace(x=resx)
         step = kkt.solve_with(layout, fact, res, n, me, mc, "riccati", st)
         return step.x
@@ -183,17 +192,18 @@ def main():
     def mk_solve(K):
         f = jax.vmap(solve_one)
 
-        def g(rx, Hxx, fact, res):
-            return chain(lambda rc, *rr: f(rc, *rr), K, rx, Hxx, fact, res)
+        def g(rx, *rr):
+            return chain(lambda rc, *r2: f(rc, *r2), K, rx, *rr)
 
         return jax.jit(g)
 
     with jax.default_matmul_precision(opts.matmul_precision):
-        dt = marginal(mk_solve, (res_b.x, Hxx_b, fact_b, res_b), 2, 22)
+        dt = marginal(mk_solve, (res_b.x, D_b, O_b, fact_b, res_b), 2, 22)
     out["solve_with_ms"] = round(dt * 1e3, 2)
 
-    def mv_one(resx, Hxx, fact, res):
+    def mv_one(resx, Db, Ob, fact, res):
         d = res._replace(x=resx)
+        Hxx = kkt.BandHessian(Db, Ob, None, st)
         mv = kkt.matvec(
             layout, Hxx, fact.gx, fact.hx, fact.s, fact.t, fact.rho,
             fact.eps_p, fact.eps_d, d,
@@ -203,13 +213,13 @@ def main():
     def mk_mv(K):
         f = jax.vmap(mv_one)
 
-        def g(rx, Hxx, fact, res):
-            return chain(lambda rc, *rr: f(rc, *rr), K, rx, Hxx, fact, res)
+        def g(rx, *rr):
+            return chain(lambda rc, *r2: f(rc, *r2), K, rx, *rr)
 
         return jax.jit(g)
 
     with jax.default_matmul_precision(opts.matmul_precision):
-        dt = marginal(mk_mv, (res_b.x, Hxx_b, fact_b, res_b), 4, 44)
+        dt = marginal(mk_mv, (res_b.x, D_b, O_b, fact_b, res_b), 4, 44)
     out["refine_matvec_ms"] = round(dt * 1e3, 2)
 
     # 7. one W=8 line-search chunk: merit + violation at 8 candidates
