@@ -427,6 +427,19 @@ def bench_quadruped_batch():
     x0[:, 11 + 1] += heights
     th = jnp.asarray(x0, jnp.float32)
 
+    # ahead-of-time traced-program cache (utils/aot.py): the cold start
+    # is dominated by Python tracing, which the persistent XLA cache
+    # cannot absorb -- the keyed AOT cache (package-source + problem
+    # fingerprint) skips tracing entirely on a warm run, so compile_s
+    # then reflects deserialize + XLA-cache-hit + first dispatch
+    from calipso_tpu.utils import aot as _aot
+
+    fp = f"quadruped-B{B}-H{H}-tol{TOL}-refine2-p{th.shape[1]}"
+    fn, aot_cached = _aot.cached_batched(
+        bts._batched, "quad", fp, *bts._example_args(B, th.shape[1])
+    )
+    bts._batched = fn
+
     t0 = time.time()
     res = bts.solve(parameters=th)
     force(res.state.p.x)
@@ -473,6 +486,7 @@ def bench_quadruped_batch():
         "quadruped_ls_chunks_max": int(chunks.max()),
         "quadruped_per_batch_wall_s": round(dt, 3),
         "quadruped_compile_s": round(compile_s, 1),
+        "quadruped_aot_cached": bool(aot_cached),
         "quadruped_fact_gflops_per_s_lower_bound": round(fact_flops / dt / 1e9, 1),
         "quadruped_fact_gbps_lower_bound": round(fact_bytes / dt / 1e9, 2),
     }
@@ -528,22 +542,27 @@ def bench_rocket_batch_pallas():
             ts.initialize_states([np.asarray(s, np.float32) for s in prob["state_guess"]])
             bts = ts.batched()
             rng = np.random.default_rng(0)
-            # scenario parameter: initial position/velocity perturbations
-            th0 = np.asarray(prob["state_initial"], np.float32)
-            th = jnp.asarray(
-                th0[None] + 0.05 * rng.normal(size=(B, th0.size)).astype(np.float32)
+            # scenario variation enters through the per-lane GUESS: the
+            # rocket landing problem has no stage parameters (its x0 is a
+            # constraint constant), so the earlier parameters=...
+            # perturbations were silently unused and every lane solved
+            # the identical program -- perturbing the warm-start guess
+            # makes the lanes genuinely distinct solves
+            g0 = np.asarray(ts._guess, np.float32)
+            guess_b = jnp.asarray(
+                g0[None] + 0.01 * rng.normal(size=(B, g0.size)).astype(np.float32)
             )
-            res = bts.solve(parameters=th)
+            res = bts.solve(guess=guess_b)
             force(res.state.p.x)
             # fresh scenarios per rep (result-cache hazard; see
             # bench_quadruped_batch)
             reps = 3
             t0 = time.time()
             for _ in range(reps):
-                th_r = jnp.asarray(
-                    th0[None] + 0.05 * rng.normal(size=(B, th0.size)).astype(np.float32)
+                g_r = jnp.asarray(
+                    g0[None] + 0.01 * rng.normal(size=(B, g0.size)).astype(np.float32)
                 )
-                res = bts.solve(parameters=th_r)
+                res = bts.solve(guess=g_r)
                 force(res.state.p.x)
             dt = (time.time() - t0) / reps
             out[f"rocket_batch_{tag}_solves_per_s"] = round(B / dt, 1)

@@ -106,6 +106,51 @@ class BatchedTrajOptSolver:
             "or a batched `guess` (B, n)"
         )
 
+    # ---- ahead-of-time program cache (utils/aot.py) ----------------------
+    # Tracing the batched contact-class program costs minutes of pure
+    # Python (docs/performance.md "Cold-start anatomy"); these serialize
+    # the traced program so a later process skips tracing entirely and
+    # goes straight to the (persistently cached) XLA compile.
+
+    def _example_args(self, batch_size, num_parameters=None):
+        import numpy as np
+
+        n = int(np.size(self._ts._guess))
+        g = jnp.asarray(self._ts._guess)  # natural dtype (f32 on TPU,
+        # f64 under the CPU x64 config) so the exported program matches
+        # what solve() will dispatch
+        guess_b = jnp.broadcast_to(g, (batch_size, n))
+        p = self.fns.dims.parameters if num_parameters is None else num_parameters
+        th = jnp.zeros((batch_size, p), g.dtype)
+        return guess_b, th
+
+    def aot_save(self, path, batch_size, num_parameters=None):
+        """Trace the batched solve at this batch size and serialize the
+        program (jax.export / StableHLO) to `path`. Shapes and dtypes
+        are fixed at save time (pass num_parameters when solve() will be
+        called with a different parameter-row width than the problem's
+        declared one); reuse across package-code changes is the caller's
+        responsibility (the keyed cache in utils/aot.py hashes the
+        package sources instead)."""
+        from calipso_tpu.utils import aot
+
+        blob = aot.export_fn(
+            self._batched, *self._example_args(batch_size, num_parameters)
+        )
+        with open(path, "wb") as f:
+            f.write(blob)
+        return path
+
+    def aot_load(self, path):
+        """Replace the batched solve with a program saved by aot_save:
+        no tracing; the XLA compile still goes through the persistent
+        compilation cache."""
+        from calipso_tpu.utils import aot
+
+        with open(path, "rb") as f:
+            self._batched = aot.load_fn(f.read())
+        return self
+
     def solve(
         self,
         parameters=None,
