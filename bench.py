@@ -314,12 +314,14 @@ def bench_kernel_roofline(ceil):
 
     rng = np.random.default_rng(0)
     out = {}
-    # K spreads sized so the marginal diff is ~100 ms >> the tunnel's
-    # timing jitter: the d=54 stream call is ~1.6 ms (K 4->68), the n=32
-    # resident call ~0.1 ms (K 50->1250; fori_loop trip count does not
-    # affect compile time)
+    # K spreads sized so the marginal diff is ~120 ms >> the tunnel's
+    # timing jitter: the d=54 stream call is ~0.6 ms after the round-5
+    # register-tiled kernels (K 8->208; the old 4->68 spread left a
+    # ~38 ms diff that swung the measured rate +-15% run to run), the
+    # n=32 resident call ~0.08 ms (K 50->1250; fori_loop trip count does
+    # not affect compile time)
     for tag, B, T, d, K1, K2 in (
-        ("quadruped_d54", 256, 8, 54, 4, 68),
+        ("quadruped_d54", 256, 8, 54, 8, 208),
         ("flagship_n32", 2048, 1, 32, 50, 1250),
     ):
         D = rng.normal(size=(B, T, d, d)).astype(np.float32)

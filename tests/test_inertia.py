@@ -164,7 +164,7 @@ def test_refinement_fallback_rescues_broken_factorization():
     step0 = kkt.solve_with(layout, broken, res, n, me, mc, "schur")
 
     opts_on = Options(linear_solver="schur", refinement_fallback=True)
-    stp, fired = refine_step(
+    stp, fired, _trips = refine_step(
         opts_on, layout, None, n, me, mc, step0, res, Hxx, gx, hx, broken, s, t, rho
     )
     assert int(fired) == 1
@@ -172,7 +172,7 @@ def test_refinement_fallback_rescues_broken_factorization():
 
     # without the fallback the guarded-refined step stays garbage
     opts_off = opts_on.replace(refinement_fallback=False)
-    stp_off, fired_off = refine_step(
+    stp_off, fired_off, _t2 = refine_step(
         opts_off, layout, None, n, me, mc, step0, res, Hxx, gx, hx, broken, s, t, rho
     )
     assert int(fired_off) == 0
@@ -188,7 +188,7 @@ def test_refinement_fallback_quiet_when_healthy():
     layout, n, me, mc, Hxx, gx, hx, s, t, rho, fact, res = _refine_setup()
     step0 = kkt.solve_with(layout, fact, res, n, me, mc, "schur")
     opts_on = Options(linear_solver="schur", refinement_fallback=True)
-    stp, fired = refine_step(
+    stp, fired, _trips = refine_step(
         opts_on, layout, None, n, me, mc, step0, res, Hxx, gx, hx, fact, s, t, rho
     )
     assert int(fired) == 0
