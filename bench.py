@@ -294,8 +294,11 @@ def measure_ceilings():
 # Cholesky (ops/riccati.py): chol(S_t) d^3/3 + M_t = L^-1 O' d^3 +
 # M'M update 2 d^3 multiply-add-counted flops
 FACTOR_FLOPS_PER_STAGE = lambda d: (1.0 / 3.0 + 1.0 + 2.0) * d**3
-# HBM bytes per factorization: read D, O; write L, M (f32)
-FACTOR_BYTES_PER_STAGE = lambda d: 4 * d * d * 4
+# HBM bytes per factorization: read D (T blocks) + O (T-1), write
+# L (T) + M (T-1), f32 -- at T=1 only D and L exist (the round-5 T=1
+# kernels no longer move a discarded zero M block)
+FACTOR_BYTES_TOTAL = lambda d, T: (2 * T + 2 * max(T - 1, 0)) * d * d * 4
+FACTOR_BYTES_PER_STAGE = lambda d: 4 * d * d * 4  # T>1 per-stage form
 
 
 def bench_kernel_roofline(ceil):
@@ -370,7 +373,7 @@ def bench_kernel_roofline(ceil):
                 1e-12,
             )
         flops = B * T * FACTOR_FLOPS_PER_STAGE(d)
-        bts = B * T * FACTOR_BYTES_PER_STAGE(d)
+        bts = B * FACTOR_BYTES_TOTAL(d, T)
         gflops = flops / dt / 1e9
         gbps = bts / dt / 1e9
         vpu, hbm = ceil["vpu_fma_gflops_measured"], ceil["hbm_gbps_measured"]

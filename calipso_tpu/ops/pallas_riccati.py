@@ -631,6 +631,61 @@ def _solve_lanes_kernel(Lt_ref, M_ref, b_ref, x_ref, u_scr, d: int, T: int):
     lax.fori_loop(0, T, bwd_body, jnp.zeros((d, B), dtype))
 
 
+def _factor_lanes_t1_kernel(D_ref, Lt_ref, S_scr, d: int):
+    """T=1 specialization (the flagship chol_cv path): no coupling
+    input, no M output -- the general kernel wrote an all-zeros M block
+    that the wrapper discarded, a third of the HBM write traffic on an
+    HBM-bound kernel."""
+    dtype = D_ref.dtype
+    B = D_ref.shape[-1]
+    iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    S_scr[...] = D_ref[0]
+    if _use_blocked(d):
+
+        def wr(c, v):
+            Lt_ref[0, c] = v
+
+        _blocked_chol(S_scr, wr, lambda c, lo, hi: Lt_ref[0, c, lo:hi, :], d, B, dtype)
+        return
+
+    def cbody(k, _):
+        rowk = S_scr[k]
+        pivot = jnp.sqrt(jnp.sum(jnp.where(iod == k, rowk, 0.0), axis=0))
+        colk = jnp.where(iod > k, rowk / pivot[None, :], 0.0)
+        Lt_ref[0, k] = colk + jnp.where(iod == k, pivot[None, :], 0.0)
+        S_scr[...] = S_scr[...] - colk[:, None, :] * colk[None, :, :]
+        return 0
+
+    lax.fori_loop(0, d, cbody, 0)
+
+
+def _solve_lanes_t1_kernel(Lt_ref, b_ref, x_ref, d: int):
+    """T=1 substitution: L L' x = b with no coupling stream."""
+    dtype = Lt_ref.dtype
+    iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+
+    def fwd(j, X):
+        colj = Lt_ref[0, j]
+        pivot = jnp.sum(jnp.where(iod == j, colj, 0.0), axis=0)
+        xj = jnp.sum(jnp.where(iod == j, X, 0.0), axis=0) / pivot
+        colj_s = jnp.where(iod > j, colj, 0.0)
+        X = X - colj_s * xj[None, :]
+        return jnp.where(iod == j, xj[None, :], X)
+
+    u = lax.fori_loop(0, d, fwd, b_ref[0])
+
+    def bwd(jj, X):
+        j = d - 1 - jj
+        rowj = Lt_ref[0, j]
+        pivot = jnp.sum(jnp.where(iod == j, rowj, 0.0), axis=0)
+        acc = jnp.sum(rowj * X, axis=0)
+        uj = jnp.sum(jnp.where(iod == j, u, 0.0), axis=0)
+        xj = (uj - acc) / pivot
+        return jnp.where(iod == j, xj[None, :], X)
+
+    x_ref[0] = lax.fori_loop(0, d, bwd, jnp.zeros_like(u))
+
+
 def factor_lanes(D, O, interpret=False, batch_tile=None):
     """Batched factor: D (B, T, d, d), O (B, T-1, d, d) -> L (B, T, d, d),
     M (B, T-1, d, d) (lanes layout internally). `batch_tile` grids the
@@ -642,6 +697,23 @@ def factor_lanes(D, O, interpret=False, batch_tile=None):
     B, T, d, _ = D.shape
     dtype = D.dtype
     Dl = jnp.transpose(D, (1, 2, 3, 0))
+    Bt1 = B if batch_tile is None else batch_tile
+    if T == 1:
+        spec1 = lambda: pl.BlockSpec(
+            (1, d, d, Bt1), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM
+        )
+        Ltl = pl.pallas_call(
+            functools.partial(_factor_lanes_t1_kernel, d=d),
+            grid=(B // Bt1,),
+            in_specs=[spec1()],
+            out_specs=spec1(),
+            out_shape=jax.ShapeDtypeStruct((1, d, d, B), dtype),
+            scratch_shapes=[pltpu.VMEM((d, d, Bt1), dtype)],
+            interpret=interpret,
+            compiler_params=_compiler_params(),
+        )(Dl)
+        L = jnp.transpose(Ltl, (3, 0, 2, 1))
+        return L, jnp.zeros((B, 0, d, d), dtype)
     OTl = (
         jnp.transpose(O, (1, 3, 2, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
     )
@@ -681,6 +753,25 @@ def solve_lanes(L, M, b, interpret=False, batch_tile=None):
     # the kernel consumes the factor TRANSPOSED per stage (rows of Lt =
     # columns of L); fold the transpose into the HBM->lanes relayout
     Ll = jnp.transpose(L, (1, 3, 2, 0))
+    Bt1 = B if batch_tile is None else batch_tile
+    if T == 1:
+        mspec1 = pl.BlockSpec(
+            (1, d, d, Bt1), lambda i: (0, 0, 0, i), memory_space=pltpu.VMEM
+        )
+        vspec1 = pl.BlockSpec(
+            (1, d, Bt1), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        )
+        bl1 = jnp.transpose(b, (1, 2, 0))
+        xl = pl.pallas_call(
+            functools.partial(_solve_lanes_t1_kernel, d=d),
+            grid=(B // Bt1,),
+            in_specs=[mspec1, vspec1],
+            out_specs=vspec1,
+            out_shape=jax.ShapeDtypeStruct((1, d, B), dtype),
+            interpret=interpret,
+            compiler_params=_compiler_params(),
+        )(Ll, bl1)
+        return jnp.transpose(xl, (2, 0, 1))
     Ml = (
         jnp.transpose(M, (1, 2, 3, 0)) if T > 1 else jnp.zeros((1, d, d, B), dtype)
     )

@@ -298,9 +298,18 @@ class TrajOptSolver:
             for t in range(T)
         ]
 
+        _probe_cache = {}
+
         def probe(fn, *shapes):
-            args = [jnp.zeros(s) for s in shapes]
-            return int(np.prod(jax.eval_shape(fn, *args).shape))
+            # dedup by (callable identity, shapes): an H-stage problem
+            # with shared stage functions runs a handful of eval_shape
+            # traces instead of O(T) (construction was ~19 s for the
+            # d=54 contact class, much of it repeated probes)
+            key = (id(getattr(fn, "raw_fn", fn)), shapes)
+            if key not in _probe_cache:
+                args = [jnp.zeros(s) for s in shapes]
+                _probe_cache[key] = int(np.prod(jax.eval_shape(fn, *args).shape))
+            return _probe_cache[key]
 
         def stage_wrap(c, nx):
             def fn(zrow, wrow, _c=c, _nx=nx):
