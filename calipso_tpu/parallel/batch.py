@@ -51,6 +51,25 @@ class BatchedSolver:
         run = solve_fn(self.fns, self.layout, options)
         self._batched = jax.jit(jax.vmap(lambda x0, th: run(x0, th)))
 
+    def aot_save(self, path, batch_size, dtype=jnp.float32):
+        """Serialize the traced batched solve at this batch size (see
+        BatchedTrajOptSolver.aot_save; same contract)."""
+        from calipso_tpu.utils import aot
+
+        x0 = jnp.zeros((batch_size, self.fns.dims.variables), dtype)
+        th = jnp.zeros((batch_size, self.fns.dims.parameters), dtype)
+        with open(path, "wb") as f:
+            f.write(aot.export_fn(self._batched, x0, th))
+        return path
+
+    def aot_load(self, path):
+        """Load a program saved by aot_save (skips tracing)."""
+        from calipso_tpu.utils import aot
+
+        with open(path, "rb") as f:
+            self._batched = aot.load_fn(f.read())
+        return self
+
     def solve(
         self,
         x0_batch,

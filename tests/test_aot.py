@@ -79,3 +79,31 @@ def test_cached_batched_key_changes_with_fingerprint(tmp_path, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(r1.state.p.x), np.asarray(r2.state.p.x), rtol=1e-6, atol=1e-8
     )
+
+
+def test_batched_solver_aot_round_trip(tmp_path):
+    from calipso_tpu import BatchedSolver
+    import jax.numpy as jnp
+
+    def build():
+        return BatchedSolver(
+            lambda x, th: (x - th) @ (x - th),
+            lambda x, th: x[:1] - 0.5,
+            None,
+            3,
+            num_parameters=3,
+        )
+
+    bs = build()
+    B = 4
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(B, 3)))
+    th = jnp.asarray(0.1 * rng.normal(size=(B, 3)), x0.dtype)
+    ref = bs.solve(x0, th)
+    path = str(tmp_path / "nlp.jaxexport")
+    bs.aot_save(path, B, dtype=x0.dtype)
+    bs2 = build().aot_load(path)
+    got = bs2.solve(x0, th)
+    np.testing.assert_allclose(
+        np.asarray(got.state.p.x), np.asarray(ref.state.p.x), rtol=1e-6, atol=1e-8
+    )
