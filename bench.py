@@ -768,6 +768,10 @@ def main():
         if iters_max and n_solved
         else 0.0,
         "kkt_factorizations_per_s_lower_bound": round(iters / dt, 1),
+        # cost-accounting counters (lane-max; see bench_quadruped_batch)
+        "ladder_refactorizations_max": int(np.asarray(res.state.num_ladder).max()),
+        "refine_trips_max": int(np.asarray(res.state.num_refine).max()),
+        "ls_chunks_max": int(np.asarray(res.state.num_ls_chunks).max()),
         "kkt_backend": backend,
         "kkt_factorization_gflops_per_s": round(kkt_flops_per_s / 1e9, 3),
         "kkt_factorization_gbps": round(kkt_bytes_per_s / 1e9, 3),

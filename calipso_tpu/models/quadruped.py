@@ -37,29 +37,42 @@ NU_CTRL = 8
 NU = NU_CTRL + 4 + 8 + 8  # 28
 
 
-def foot_position(q, i):
+def foot_positions(q):
+    """All four foot positions at once, (4, 2). Vectorizing the foot
+    axis (instead of a Python loop of per-foot scalar chains) shrinks
+    the dynamics jaxpr ~4x -- and the LAGRANGIAN HESSIAN the solver
+    differentiates through it by the cube of that: the batched oracle is
+    op-COUNT-bound, not flop-bound (docs/performance.md budget)."""
     c, s = jnp.cos(q[2]), jnp.sin(q[2])
     R = jnp.array([[c, -s], [s, c]])
-    a, r = q[3 + 2 * i], q[4 + 2 * i]
-    local = jnp.array([HIPS[i] + r * jnp.sin(a), -r * jnp.cos(a)])
-    return q[:2] + R @ local
+    a, r = q[3::2], q[4::2]  # (4,) swing angles / leg lengths
+    local = jnp.stack(
+        [jnp.asarray(HIPS, q.dtype) + r * jnp.sin(a), -r * jnp.cos(a)], axis=1
+    )  # (4, 2)
+    return q[:2][None, :] + local @ R.T
+
+
+def foot_position(q, i):
+    return foot_positions(q)[i]
+
+
+_foot_jacs = jax.jacfwd(foot_positions)  # (4, 2, 11)
 
 
 def mass_matrix(q):
     """M(q) = body diag + sum_i m_f J_i' J_i (identical to the kinetic
     energy of point feet; explicit form keeps the autodiff graph shallow
-    -- the nested-jvp Lagrangian tripled XLA compile times)."""
+    -- the nested-jvp Lagrangian tripled XLA compile times). One jacfwd
+    over the stacked foot map instead of four."""
     M = jnp.diag(jnp.array([MASS_BODY, MASS_BODY, INERTIA_BODY] + [0.0] * 8))
-    for i in range(4):
-        J = jax.jacfwd(lambda qq: foot_position(qq, i))(q)
-        M = M + MASS_FOOT * J.T @ J
-    return M
+    J = _foot_jacs(q)  # (4, 2, 11)
+    return M + MASS_FOOT * jnp.einsum("fij,fik->jk", J, J)
 
 
 def lagrangian(q, v):
-    pe = MASS_BODY * GRAVITY * q[1]
-    for i in range(4):
-        pe = pe + MASS_FOOT * GRAVITY * foot_position(q, i)[1]
+    pe = MASS_BODY * GRAVITY * q[1] + MASS_FOOT * GRAVITY * jnp.sum(
+        foot_positions(q)[:, 1]
+    )
     return 0.5 * v @ (mass_matrix(q) @ v) - pe
 
 
@@ -68,28 +81,23 @@ _D2L = jax.grad(lagrangian, argnums=1)
 
 
 def signed_distance(q):
-    return jnp.stack([foot_position(q, i)[1] - FOOT_RADIUS for i in range(4)])
+    return foot_positions(q)[:, 1] - FOOT_RADIUS
 
 
 def foot_jacobian(q, i):
-    return jax.jacfwd(lambda qq: foot_position(qq, i))(q)
+    return _foot_jacs(q)[i]
 
 
 def contact_impulse(q, gamma, beta):
-    lam = jnp.zeros(NQ)
-    for i in range(4):
-        J = foot_jacobian(q, i)  # (2, 11): rows (x, z)
-        lam = lam + J.T @ jnp.array([beta[2 * i + 1], gamma[i]])
-    return lam
+    J = _foot_jacs(q)  # (4, 2, 11): rows (x, z) per foot
+    w = jnp.stack([beta[1::2], gamma], axis=1)  # (4, 2)
+    return jnp.einsum("fij,fi->j", J, w)
 
 
 def control_map(u_ctrl):
-    """Hip torques act on alpha DOFs, leg forces on r DOFs."""
-    B = jnp.zeros(NQ)
-    for i in range(4):
-        B = B.at[3 + 2 * i].set(u_ctrl[2 * i])
-        B = B.at[4 + 2 * i].set(u_ctrl[2 * i + 1])
-    return B
+    """Hip torques act on alpha DOFs, leg forces on r DOFs -- the
+    (alpha_i, r_i) DOFs are contiguous at q[3:11] in control order."""
+    return jnp.concatenate([jnp.zeros((3,), u_ctrl.dtype), u_ctrl])
 
 
 def variational_dynamics(h, q0, q1, u_ctrl, lam, q2):
