@@ -32,9 +32,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# B=2048 is the measured throughput sweet spot on one v5e chip (solves/s
-# keeps rising 256 -> 2048 and flattens after; see README benchmark table)
-BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+# B=8192 is the round-5 throughput knee on one v5e chip: the faster
+# program pushed the flattening point out (34.2k solves/s at B=2048,
+# 45.2k at 4096, 53.0k at 8192, 53.8k at 16384 -- r5-builder); the
+# batch size is part of the metric label, so round-over-round numbers
+# stay attributable
+BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
 HORIZON = int(os.environ.get("BENCH_HORIZON", "11"))
 TOL = float(os.environ.get("BENCH_TOL", "1e-4"))
 

@@ -490,7 +490,6 @@ def _factor_lanes_kernel(D_ref, OT_ref, Lt_ref, M_ref, S_scr, d: int, T: int):
     dtype = D_ref.dtype
     B = D_ref.shape[-1]
     iod = lax.broadcasted_iota(jnp.int32, (d, 1), 0)  # (d, 1) row ids
-    ior = lax.broadcasted_iota(jnp.int32, (d, 1, 1), 0)  # (d, 1, 1)
     blocked = _use_blocked(d)
 
     def chol_into(t):
