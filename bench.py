@@ -442,13 +442,16 @@ def bench_quadruped_batch():
     # then reflects deserialize + XLA-cache-hit + first dispatch
     from calipso_tpu.utils import aot as _aot
 
+    # compile_s spans the WHOLE cold start: trace+export on an AOT miss
+    # (or deserialize on a hit), XLA compile, and the first dispatch --
+    # timing only the first solve would hide the trace wall outside the
+    # reported number
+    t0 = time.time()
     fp = f"quadruped-B{B}-H{H}-tol{TOL}-refine2-p{th.shape[1]}"
     fn, aot_cached = _aot.cached_batched(
         bts._batched, "quad", fp, *bts._example_args(B, th.shape[1])
     )
     bts._batched = fn
-
-    t0 = time.time()
     res = bts.solve(parameters=th)
     force(res.state.p.x)
     compile_s = time.time() - t0
